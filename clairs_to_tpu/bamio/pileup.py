@@ -1,0 +1,540 @@
+"""Single-pass pileup engine: decoded reads -> channel counts + candidates.
+
+Replaces the reference's THREE ``samtools mpileup`` text passes per chunk
+(candidates: src/extract_candidates_calling.py:308-312; AFF tensor and NEG
+tensor: src/create_tensor_pileup_calling.py:442-446 with different --min-BQ)
+with ONE decode of the reads into a typed **column-entry table**, from which
+every view is a masked reduction.
+
+The column-entry model mirrors the mpileup string exactly: each read
+contributes at most one entry per reference position it covers —
+
+    entry = (base | deletion placeholder) [+ indel suffix]
+
+where the indel suffix attaches to the *anchor* (preceding aligned) entry.
+Per-view semantics honored (all verified against the reference decoders):
+
+  * candidate view (extract_candidates_calling.py:101-148): reads are
+    mq-filtered at read level (--min-MQ 20); an entry with an indel suffix
+    counts its anchor base in the ACGT dict AND the suffix in I/D;
+    depth counts ACGT + placeholders once per entry.
+  * tensor views (create_tensor_pileup_calling.py:146-228): all reads;
+    entries with an indel suffix count ONLY as indel evidence (I/i/D/d +
+    I1/i1/D1/d1 max-per-distinct-seq); pure bases with mq>=20 go to the main
+    channels and depth, mq<20 to LMQ; bq<thresh (30 ont / 10 else) pure
+    bases to LBQ regardless of mq; insertions with seq len > max_indel_length
+    and deletions with 1+len > max_indel_length are skipped entirely
+    (create_tensor:173-197); ref channels are overwritten with the negated
+    block sums (create_tensor:223-228).
+  * --reverse-del: placeholders are strand-aware ('*' fwd / '#' rev); a
+    placeholder's BQ is the next aligned query base's quality (htslib qpos
+    convention), so --min-BQ can drop deleted positions.
+  * read-pair overlaps (htslib tweak_overlap_quality, default on in
+    mpileup): agreeing bases keep mate1 (qual q1+q2 capped 200), mate2 -> 0;
+    disagreeing keep the higher-qual mate at 0.8q, other -> 0.
+
+Known divergence: samtools mpileup applies BAQ by default; BAQ is not
+implemented (base qualities used as stored).
+
+This module is the behavioral reference for the C++ fast path
+(clairs_to_tpu/bamio/native), which emits the same arrays.
+"""
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from clairs_to_tpu import config as cfg
+from clairs_to_tpu.bamio.bam import FLAG_PAIRED
+
+# entry base codes
+CODE_ACGT_FWD = {b: i for i, b in enumerate("ACGT")}          # 0..3
+CODE_ACGT_REV = {b: i + 4 for i, b in enumerate("ACGT")}      # 4..7
+CODE_DEL_FWD = 8   # '*'
+CODE_DEL_REV = 9   # '#'
+CODE_SKIP = 10     # N or other non-ACGT base: consumes nothing in any view
+
+INDEL_NONE, INDEL_INS, INDEL_DEL = 0, 1, 2
+
+_CH = cfg.CHANNEL_INDEX
+_BASE_CHARS = "ACGTacgt*#?"
+
+
+def evc_base(b: str) -> str:
+    """create_tensor_pileup_calling.py:82-92 — collapse unknown bases to A."""
+    if b in "ACGT":
+        return b
+    if b in "acgt":
+        return b.upper()
+    return "A"
+
+
+@dataclass
+class CandidateInfo:
+    pos: int              # 0-based
+    depth: int
+    alt_info: str         # reference alt_info grammar "<depth>-<k c ...>-"
+    af: float
+    pass_snv: bool
+    pass_indel: bool
+    alt_list: list        # [(entry_str_upper, count)] sorted desc, ref excluded
+
+
+class PileupEngine:
+    """Accumulates column entries for one chunk; all views query the table."""
+
+    def __init__(self, ref_seq: str, ref_start: int, platform: str = "ont",
+                 max_indel_length: int = cfg.MAX_INDEL_LENGTH,
+                 handle_overlaps: bool = True):
+        self.ref_seq = ref_seq.upper()
+        self.ref_start = ref_start          # 0-based position of ref_seq[0]
+        self.platform = cfg.platform_family(platform)
+        self.max_indel_length = max_indel_length
+        self.handle_overlaps = handle_overlaps
+        # column-entry table (parallel lists -> arrays at finalize)
+        self._pos: List[int] = []
+        self._code: List[int] = []
+        self._bq: List[int] = []
+        self._mq: List[int] = []
+        self._hp: List[int] = []
+        self._ikind: List[int] = []
+        self._ilen: List[int] = []
+        self._iseq: List[str] = []   # '' when no suffix; as-read case for ins
+        self._pending_mates: Dict[str, Dict[int, int]] = {}
+        self._arrays = None
+
+    # ------------------------------------------------------------------
+    def add_read(self, read):
+        rev = read.is_reverse
+        hp = int(read.tags.get("HP", 0)) if read.tags else 0
+        mq = int(read.mapq)
+        seq = read.seq
+        qual = read.qual
+        ops = read.cigar_ops
+        lens = read.cigar_lens
+        ref_pos = read.pos
+        qpos = 0
+        first_idx = len(self._pos)
+        last_entry_idx = -1  # index of entry at ref_pos-1 (anchor candidate)
+
+        def push(pos, code, bq):
+            self._pos.append(pos)
+            self._code.append(code)
+            self._bq.append(bq)
+            self._mq.append(mq)
+            self._hp.append(hp)
+            self._ikind.append(INDEL_NONE)
+            self._ilen.append(0)
+            self._iseq.append("")
+            return len(self._pos) - 1
+
+        for i in range(len(ops)):
+            op = int(ops[i])
+            ln = int(lens[i])
+            if op in (0, 7, 8):  # M, =, X
+                for k in range(ln):
+                    b = seq[qpos + k].upper()
+                    if b in "ACGT":
+                        code = CODE_ACGT_REV[b] if rev else CODE_ACGT_FWD[b]
+                    else:
+                        code = CODE_SKIP
+                    last_entry_idx = push(ref_pos + k, code, int(qual[qpos + k]))
+                ref_pos += ln
+                qpos += ln
+            elif op == 1:  # I — suffix on the anchor entry (last-wins like
+                # the reference decoder's base_list[-1][1] overwrite)
+                if last_entry_idx >= 0 and self._pos[last_entry_idx] == ref_pos - 1:
+                    self._ikind[last_entry_idx] = INDEL_INS
+                    self._ilen[last_entry_idx] = ln
+                    s = seq[qpos : qpos + ln]
+                    self._iseq[last_entry_idx] = s.lower() if rev else s.upper()
+                qpos += ln
+            elif op == 2:  # D — suffix on anchor + placeholders
+                if last_entry_idx >= 0 and self._pos[last_entry_idx] == ref_pos - 1:
+                    self._ikind[last_entry_idx] = INDEL_DEL
+                    self._ilen[last_entry_idx] = ln
+                    self._iseq[last_entry_idx] = ""
+                nxt_bq = int(qual[qpos]) if qpos < len(qual) else (
+                    int(qual[-1]) if len(qual) else 0
+                )
+                code = CODE_DEL_REV if rev else CODE_DEL_FWD
+                for k in range(ln):
+                    last_entry_idx = push(ref_pos + k, code, nxt_bq)
+                ref_pos += ln
+            elif op == 3:  # N
+                ref_pos += ln
+                last_entry_idx = -1
+            elif op == 4:  # S
+                qpos += ln
+            # H/P consume nothing
+
+        if self.handle_overlaps and (read.flag & FLAG_PAIRED):
+            self._overlap_adjust(read.name, first_idx)
+        self._arrays = None
+
+    def _overlap_adjust(self, name, first_idx):
+        """htslib tweak_overlap_quality on same-name overlapping mates."""
+        span = {
+            self._pos[i]: i
+            for i in range(first_idx, len(self._pos))
+            if self._code[i] < 8
+        }
+        prev = self._pending_mates.pop(name, None)
+        if prev is None:
+            self._pending_mates[name] = span
+            return
+        for pos, i2 in span.items():
+            i1 = prev.get(pos)
+            if i1 is None:
+                continue
+            c1, c2 = self._code[i1] % 4, self._code[i2] % 4
+            q1, q2 = self._bq[i1], self._bq[i2]
+            if c1 == c2:
+                self._bq[i1] = min(q1 + q2, 200)
+                self._bq[i2] = 0
+            elif q1 >= q2:
+                self._bq[i1] = int(0.8 * q1)
+                self._bq[i2] = 0
+            else:
+                self._bq[i2] = int(0.8 * q2)
+                self._bq[i1] = 0
+
+    # ------------------------------------------------------------------
+    def _finalize(self):
+        if self._arrays is None:
+            self._arrays = dict(
+                pos=np.asarray(self._pos, dtype=np.int64),
+                code=np.asarray(self._code, dtype=np.int8),
+                bq=np.asarray(self._bq, dtype=np.int16),
+                mq=np.asarray(self._mq, dtype=np.int16),
+                hp=np.asarray(self._hp, dtype=np.int8),
+                ikind=np.asarray(self._ikind, dtype=np.int8),
+                ilen=np.asarray(self._ilen, dtype=np.int32),
+            )
+        return self._arrays
+
+    def _ref_base(self, pos0: int) -> str:
+        idx = pos0 - self.ref_start
+        if 0 <= idx < len(self.ref_seq):
+            return self.ref_seq[idx]
+        return "N"
+
+    def _indel_ok_tensor(self, ikind, ilen):
+        """Tensor-view indel length gate (create_tensor:173-197)."""
+        if ikind == INDEL_INS:
+            return ilen <= self.max_indel_length
+        return ilen + 1 <= self.max_indel_length
+
+    # ------------------------------------------------------------------
+    def channel_counts(self, min_bq: int, region_start: int, region_end: int,
+                       with_phasing: bool = False):
+        """Tensor-view counts: (L, 34[+16]) int32 + (L,) depth.
+
+        Ref-channel negation is NOT applied here (see apply_reference_encoding)
+        because candidate alt_info needs the raw counts first.
+        """
+        a = self._finalize()
+        L = region_end - region_start
+        nchan = cfg.PILEUP_CHANNEL_SIZE + (16 if with_phasing else 0)
+        out = np.zeros((L, nchan), dtype=np.int32)
+        depth = np.zeros(L, dtype=np.int32)
+
+        inb = (a["pos"] >= region_start) & (a["pos"] < region_end)
+        sel = inb & (a["bq"] >= min_bq) & (a["code"] != CODE_SKIP)
+        idx_all = np.nonzero(sel)[0]
+        pos = a["pos"][idx_all] - region_start
+        code = a["code"][idx_all]
+        mq = a["mq"][idx_all]
+        bq = a["bq"][idx_all]
+        hp = a["hp"][idx_all]
+        ikind = a["ikind"][idx_all]
+        ilen = a["ilen"][idx_all]
+
+        hi = mq >= cfg.LOW_MQ_THRESHOLD
+        pure = ikind == INDEL_NONE
+
+        # main channels: pure entries with mq>=20
+        m = hi & pure
+        ch = np.where(
+            code[m] < 4,
+            code[m],
+            np.where(code[m] < 8, code[m] + 5,
+                     np.where(code[m] == CODE_DEL_FWD, _CH["*"], _CH["#"])),
+        )
+        np.add.at(out, (pos[m], ch), 1)
+        np.add.at(depth, pos[m], 1)
+
+        # LMQ channels: pure base entries with mq<20
+        m = ~hi & pure & (code < 8)
+        ch = np.where(code[m] < 4, code[m] + _CH["ALMQ"], code[m] - 4 + _CH["aLMQ"])
+        np.add.at(out, (pos[m], ch), 1)
+
+        # LBQ channels: pure base entries with low bq (any mq)
+        lbq_thresh = cfg.LOW_BQ_THRESHOLD.get(self.platform, 10)
+        m = pure & (code < 8) & (bq < lbq_thresh)
+        ch = np.where(code[m] < 4, code[m] + _CH["ALBQ"], code[m] - 4 + _CH["aLBQ"])
+        np.add.at(out, (pos[m], ch), 1)
+
+        if with_phasing:
+            base_off = nchan - 16
+            for hval, off in ((1, 0), (2, 8)):
+                m = (hp == hval) & (code < 8)
+                ch = base_off + off + np.where(code[m] < 4, code[m], code[m])
+                # phase channels: A..T then a..t per hap (create_tensor:60-67)
+                ch = base_off + off + code[m] % 8
+                np.add.at(out, (pos[m], ch), 1)
+
+        # indel-suffix entries: mq>=20 only; counted solely as indel evidence
+        ins_groups = defaultdict(int)
+        del_groups = defaultdict(int)
+        for j in np.nonzero(sel & (a["ikind"] != INDEL_NONE)
+                            & (a["mq"] >= cfg.LOW_MQ_THRESHOLD))[0]:
+            p = int(a["pos"][j]) - region_start
+            kind, ln = int(a["ikind"][j]), int(a["ilen"][j])
+            if not self._indel_ok_tensor(kind, ln):
+                continue
+            rev_entry = (a["code"][j] >= 4) & (a["code"][j] != CODE_DEL_FWD)
+            # strand by anchor char: 'ACGTN*' fwd else rev (create_tensor:182,199)
+            c = int(a["code"][j])
+            fwd = c < 4 or c == CODE_DEL_FWD
+            depth[p] += 1
+            if kind == INDEL_INS:
+                out[p, _CH["I" if fwd else "i"]] += 1
+                ins_groups[(p, fwd, self._iseq[j].upper())] += 1
+            else:
+                out[p, _CH["D" if fwd else "d"]] += 1
+                del_groups[(p, fwd, ln)] += 1
+        for (p, fwd, _s), c in ins_groups.items():
+            ch = _CH["I1" if fwd else "i1"]
+            out[p, ch] = max(out[p, ch], c)
+        for (p, fwd, _l), c in del_groups.items():
+            ch = _CH["D1" if fwd else "d1"]
+            out[p, ch] = max(out[p, ch], c)
+
+        return out, depth
+
+    def apply_reference_encoding(self, counts, region_start):
+        """Ref-channel negation, vectorized (create_tensor:223-228)."""
+        L = counts.shape[0]
+        ref_idx = np.array(
+            ["ACGT".index(evc_base(self._ref_base(region_start + i))) for i in range(L)],
+            dtype=np.int64,
+        )
+        rows = np.arange(L)
+        for block in (0, 9, _CH["ALMQ"], _CH["aLMQ"], _CH["ALBQ"], _CH["aLBQ"]):
+            sums = counts[:, block : block + 4].sum(axis=1)
+            counts[rows, block + ref_idx] = -sums
+        return counts
+
+    # ------------------------------------------------------------------
+    def alt_info_at(self, positions, min_bq: int):
+        """Reference alt_info strings at candidate positions (tensor view).
+
+        Grammar (create_tensor:158-209): "<depth>-<key cnt key cnt ...>-",
+        keys X<base>, I<anchor><seq>, D<anchor+deleted ref>, R<ref>, insertion
+        order = first-encounter order of entries (mpileup column order).
+        """
+        a = self._finalize()
+        want = set(int(p) for p in positions)
+        per_pos_entries = defaultdict(list)  # pos -> [entry indices in order]
+        for j in range(len(self._pos)):
+            p = self._pos[j]
+            if p in want:
+                per_pos_entries[p].append(j)
+        out = {}
+        for p in want:
+            depth = 0
+            alt_dict = {}
+            ref_count = 0
+            rb = self._ref_base(p)
+            counter = defaultdict(int)
+            order = []
+            for j in per_pos_entries.get(p, []):
+                if self._bq[j] < min_bq or self._mq[j] < cfg.LOW_MQ_THRESHOLD:
+                    continue
+                if self._code[j] == CODE_SKIP:
+                    continue
+                key = self._entry_string(j)
+                if key not in counter:
+                    order.append(key)
+                counter[key] += 1
+            for key in order:
+                count = counter[key]
+                if len(key) == 1:
+                    if key.upper() in "ACGT":
+                        depth += count
+                        if key.upper() != rb:
+                            alt_dict["X" + key.upper()] = (
+                                alt_dict.get("X" + key.upper(), 0) + count
+                            )
+                        else:
+                            ref_count += count
+                    elif key in "#*":
+                        depth += count
+                elif key[1] == "+":
+                    if len(key[2:]) > self.max_indel_length:
+                        continue
+                    depth += count
+                    k = "I" + key[0].upper() + key[2:].upper()
+                    alt_dict[k] = alt_dict.get(k, 0) + count
+                elif key[1] == "-":
+                    if len(key[1:]) > self.max_indel_length:
+                        continue
+                    depth += count
+                    dl = len(key[2:])
+                    info = "".join(
+                        self._ref_base(p + t) for t in range(0, dl + 1)
+                    )
+                    k = "D" + info
+                    alt_dict[k] = alt_dict.get(k, 0) + count
+            if ref_count > 0:
+                alt_dict["R" + rb] = ref_count
+            alt_info = (
+                str(depth)
+                + "-"
+                + " ".join(f"{k} {v}" for k, v in alt_dict.items())
+                + "-"
+            )
+            out[p] = (alt_info, depth)
+        return out
+
+    def _entry_string(self, j):
+        """The mpileup column entry string for entry j (case = strand)."""
+        c = self._code[j]
+        if c < 4:
+            base = "ACGT"[c]
+        elif c < 8:
+            base = "acgt"[c - 4]
+        elif c == CODE_DEL_FWD:
+            base = "*"
+        else:
+            base = "#"
+        kind = self._ikind[j]
+        if kind == INDEL_NONE:
+            return base
+        if kind == INDEL_INS:
+            return base + "+" + self._iseq[j]
+        # deletion suffix: mpileup shows the deleted ref seq, lowercase on rev
+        rev = (4 <= c < 8) or c == CODE_DEL_REV
+        dl = self._ilen[j]
+        p = self._pos[j]
+        seq = "".join(self._ref_base(p + 1 + t) for t in range(dl))
+        return base + "-" + (seq.lower() if rev else seq)
+
+    # ------------------------------------------------------------------
+    def find_candidates(
+        self,
+        region_start: int,
+        region_end: int,
+        min_bq: Optional[int] = None,
+        min_coverage: int = cfg.MIN_COVERAGE,
+        snv_min_af: float = cfg.SNV_MIN_AF,
+        indel_min_af: float = cfg.INDEL_MIN_AF,
+        alternative_base_num: int = cfg.ALTERNATIVE_BASE_NUM,
+        select_indel_candidates: bool = False,
+    ):
+        """Candidate gating (extract_candidates_calling.py:101-169).
+
+        View: reads with mq>=20 (the reference's mpileup --min-MQ 20), bases
+        with bq>=min_bq.  Returns (snv_positions, indel_positions,
+        {pos: CandidateInfo}) with 0-based positions.
+        """
+        if min_bq is None:
+            min_bq = cfg.MIN_BQ_DICT.get(self.platform, 0)
+        a = self._finalize()
+        sel = (
+            (a["pos"] >= region_start)
+            & (a["pos"] < region_end)
+            & (a["mq"] >= cfg.MIN_MQ)
+            & (a["bq"] >= min_bq)
+            & (a["code"] != CODE_SKIP)
+        )
+        idx_all = np.nonzero(sel)[0]
+        # group by position
+        per_pos = defaultdict(list)
+        for j in idx_all:
+            per_pos[int(a["pos"][j])].append(int(j))
+
+        snv_pos, indel_pos = [], []
+        infos = {}
+        for p in sorted(per_pos):
+            rb = self._ref_base(p)
+            if rb not in "ACGT":
+                continue
+            entries = per_pos[p]
+            counter = defaultdict(int)
+            order = []
+            for j in entries:
+                key = self._entry_string(j)
+                if key not in counter:
+                    order.append(key)
+                counter[key] += 1
+            pileup_dict = defaultdict(int)
+            depth = 0
+            for key in order:
+                count = counter[key]
+                if key[0].upper() in "ACGT":
+                    pileup_dict[key[0].upper()] += count
+                    depth += count
+                elif key[0] in "#*":
+                    depth += count
+                if len(key) > 1 and key[1] == "+":
+                    ikey = (
+                        "I" + key[0].upper() + key[2:].upper()
+                        if select_indel_candidates
+                        else "I"
+                    )
+                    pileup_dict[ikey] += count
+                elif len(key) > 1 and key[1] == "-":
+                    ikey = (
+                        "D" + "N" * len(key[2:]) if select_indel_candidates else "D"
+                    )
+                    pileup_dict[ikey] += count
+            denom = depth if depth > 0 else 1
+            plist = sorted(pileup_dict.items(), key=lambda x: x[1], reverse=True)
+            pass_snv = False
+            pass_indel = False
+            pass_depth = depth > min_coverage
+            for item, count in plist:
+                if item == rb:
+                    continue
+                elif item[0] in "ID":
+                    if select_indel_candidates:
+                        pass_indel = pass_indel or (
+                            count / denom >= indel_min_af
+                            and count >= alternative_base_num
+                        )
+                    continue
+                pass_snv = pass_snv or (
+                    count / denom >= snv_min_af and count >= alternative_base_num
+                )
+            if len(plist) > 1:
+                af = plist[1][1] / denom
+            else:
+                af = 0.0
+            if len(plist) >= 1 and plist[0][0] != rb:
+                af = plist[0][1] / denom
+            pass_af = (pass_snv or pass_indel) and pass_depth
+            if not pass_af:
+                continue
+            # alt_list: per-entry uppercase counts, ref excluded
+            alt_counter = defaultdict(int)
+            for key in order:
+                alt_counter[key.upper()] += counter[key]
+            alt_list = sorted(alt_counter.items(), key=lambda x: x[1], reverse=True)
+            alt_list = [(k, c) for k, c in alt_list if k != rb]
+            info = CandidateInfo(
+                pos=p, depth=depth, alt_info="", af=af,
+                pass_snv=pass_snv, pass_indel=pass_indel, alt_list=alt_list,
+            )
+            infos[p] = info
+            if pass_snv:
+                # extract_candidates:361-363: require an ACGT alt entry
+                if any(len(k) == 1 and k in "ACGT" for k, _ in alt_list):
+                    snv_pos.append(p)
+            if select_indel_candidates and pass_indel:
+                if any("+" in k or "-" in k for k, _ in alt_list):
+                    indel_pos.append(p)
+        return snv_pos, indel_pos, infos

@@ -1,0 +1,224 @@
+"""Fused dual-network inference engine.
+
+Replaces the reference's predict.py + call_variants.py process pair
+(/root/reference/clairs/predict.py:452-718, clairs/call_variants.py:620-853)
+with a single jitted device program:
+
+    (B,33,34) AFF counts, (B,33,34) NEG counts, coverages
+      -> depth rescale (predict.py:177-197: scale by 50/cov when cov>50)
+      -> CvT logits  +  BiGRU logits
+      -> per-allele softmax (class-1 prob)
+      -> fused Bayesian posterior + QUAL (ops/posterior.py)
+
+The posterior/QUAL also run on the host in float64 for exact parity with the
+reference's scalar math (the host path is what feeds the VCF writer; the
+device path serves the pure-TPU benchmark/serving loop).
+
+Batches are padded to a static ``device_batch`` so XLA compiles exactly one
+program; padded rows are masked out on the host side.  Data-parallel scaling
+shards the batch axis across a 1-D ``jax.sharding.Mesh`` with replicated
+params (models are ~4M params — DP is the only sensible parallelism; see
+SURVEY.md §5.8).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clairs_to_tpu import config as cfg
+from clairs_to_tpu.models import cvt, bigru
+from clairs_to_tpu.ops import posterior as post
+
+
+@dataclass
+class BatchResult:
+    """Host-side per-candidate results (valid rows only)."""
+
+    p_aff: np.ndarray        # (N, n_alleles) float32 — class-1 softmax of AFF
+    p_neg: np.ndarray        # (N, n_alleles) float32 — class-1 softmax of NEG
+    posterior: np.ndarray    # (N, n_alleles) float64 — exact host posterior
+    forward_acgt: np.ndarray   # (N, 4) int — FAU..FTU recovered strand counts
+    reverse_acgt: np.ndarray   # (N, 4) int — RAU..RTU
+
+
+def _rescale(x, coverage, min_rescale_cov):
+    # predict.py:177-197: multiply all channels by min_rescale_cov/cov
+    # when cov > min_rescale_cov (float32 multiply, matching the reference).
+    scale = jnp.where(
+        coverage > min_rescale_cov, min_rescale_cov / coverage, 1.0
+    ).astype(jnp.float32)
+    return x * scale[:, None, None]
+
+
+def recover_strand_counts(aff_raw_center):
+    """Recover FAU..FTU / RAU..RTU from the raw AFF tensor's center row.
+
+    The tensor encodes the reference base's count as the negated sum of its
+    ACGT block (create_tensor_pileup_calling.py:223-228); predict.py:626-642
+    undoes it: for each row with a negative entry, replace it by -(row sum).
+
+    Args:
+      aff_raw_center: (B, 34) float/int — the unrescaled center position row.
+    Returns:
+      (forward (B,4) int64, reverse (B,4) int64)
+    """
+    out = []
+    for sl in (slice(0, 4), slice(9, 13)):
+        block = np.asarray(aff_raw_center[:, sl], dtype=np.float64).copy()
+        neg_rows = (block < 0).any(axis=1)
+        row_sums = block[neg_rows].sum(axis=1)
+        fixed = block.copy()
+        for (r, s) in zip(np.where(neg_rows)[0], row_sums):
+            fixed[r][block[r] < 0] = -s
+        out.append(np.rint(fixed).astype(np.int64))
+    return out[0], out[1]
+
+
+class InferenceEngine:
+    """Jit-compiled dual-network engine for one variant type (snv|indel)."""
+
+    def __init__(
+        self,
+        aff_params,
+        neg_params,
+        likelihood: post.LikelihoodData,
+        mode: str = "snv",
+        device_batch: int = cfg.TPU_DEVICE_BATCH,
+        min_rescale_cov: float = float(cfg.MIN_RESCALE_COV),
+        mesh: Optional[Mesh] = None,
+    ):
+        assert mode in ("snv", "indel")
+        self.mode = mode
+        self.cvt_config = cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
+        self.bigru_config = (
+            bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
+        )
+        self.n_alleles = len(self.cvt_config.alleles)
+        self.device_batch = device_batch
+        self.min_rescale_cov = min_rescale_cov
+        self.likelihood = likelihood
+        self.mesh = mesh
+
+        self._lik_mat = jnp.asarray(likelihood.matrices, jnp.float32)
+        self._aff_edges = jnp.asarray(likelihood.aff_edges, jnp.float32)
+        self._neg_edges = jnp.asarray(likelihood.neg_edges, jnp.float32)
+
+        if mesh is not None:
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            self.aff_params = jax.device_put(aff_params, self._replicated)
+            self.neg_params = jax.device_put(neg_params, self._replicated)
+        else:
+            self._data_sharding = None
+            self.aff_params = aff_params
+            self.neg_params = neg_params
+
+        self._forward = jax.jit(self._forward_impl)
+        self._forward_fused = jax.jit(self._forward_fused_impl)
+
+    # ---- device programs ------------------------------------------------
+    def _net_probs(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
+        x_aff = _rescale(x_aff.astype(jnp.float32), cov_aff, self.min_rescale_cov)
+        x_neg = _rescale(x_neg.astype(jnp.float32), cov_neg, self.min_rescale_cov)
+        logits_aff = cvt.forward(aff_params, x_aff, self.cvt_config)
+        logits_neg = bigru.forward(neg_params, x_neg, self.bigru_config)
+        probs_aff = jax.nn.softmax(logits_aff, axis=-1)
+        probs_neg = jax.nn.softmax(logits_neg, axis=-1)
+        return probs_aff, probs_neg
+
+    def _forward_impl(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
+        probs_aff, probs_neg = self._net_probs(
+            aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg
+        )
+        return probs_aff, probs_neg
+
+    def _forward_fused_impl(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
+        """Forward + posterior + argmax + QUAL, all on device (bench path)."""
+        probs_aff, probs_neg = self._net_probs(
+            aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg
+        )
+        p = probs_aff[..., 1]
+        q = probs_neg[..., 1]
+        posterior = post.posterior_probs_jnp(
+            p, q, self._lik_mat, self._aff_edges, self._neg_edges
+        )
+        best = jnp.argmax(posterior, axis=1)
+        best_p = jnp.max(posterior, axis=1)
+        qual = post.quality_score_jnp(best_p)
+        return posterior, best, qual
+
+    # ---- host API -------------------------------------------------------
+    def _pad(self, arr, value=0):
+        n = arr.shape[0]
+        if n == self.device_batch:
+            return arr
+        pad_width = [(0, self.device_batch - n)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width, constant_values=value)
+
+    def _put(self, arr):
+        if self._data_sharding is not None:
+            return jax.device_put(arr, self._data_sharding)
+        return arr
+
+    def run_batch(self, x_aff, x_neg, cov_aff, cov_neg) -> BatchResult:
+        """Full-precision path: device forward, host float64 posterior.
+
+        Args: raw (unrescaled) count tensors (N,33,34) and coverages (N,).
+        Arbitrary N: inputs larger than ``device_batch`` are processed in
+        fixed-shape slices (one compiled program, no retraces).
+        """
+        n = x_aff.shape[0]
+        if n > self.device_batch:
+            parts = [
+                self.run_batch(
+                    x_aff[i : i + self.device_batch],
+                    x_neg[i : i + self.device_batch],
+                    cov_aff[i : i + self.device_batch],
+                    cov_neg[i : i + self.device_batch],
+                )
+                for i in range(0, n, self.device_batch)
+            ]
+            return BatchResult(
+                p_aff=np.concatenate([p.p_aff for p in parts]),
+                p_neg=np.concatenate([p.p_neg for p in parts]),
+                posterior=np.concatenate([p.posterior for p in parts]),
+                forward_acgt=np.concatenate([p.forward_acgt for p in parts]),
+                reverse_acgt=np.concatenate([p.reverse_acgt for p in parts]),
+            )
+        xa = self._put(self._pad(np.asarray(x_aff, np.float32)))
+        xn = self._put(self._pad(np.asarray(x_neg, np.float32)))
+        ca = self._put(self._pad(np.asarray(cov_aff, np.float32), value=1))
+        cn = self._put(self._pad(np.asarray(cov_neg, np.float32), value=1))
+        probs_aff, probs_neg = self._forward(
+            self.aff_params, self.neg_params, xa, xn, ca, cn
+        )
+        p_aff = np.asarray(probs_aff)[:n, :, 1]
+        p_neg = np.asarray(probs_neg)[:n, :, 1]
+        posterior = post.posterior_probs_np(p_aff, p_neg, self.likelihood)
+        fwd, rev = recover_strand_counts(np.asarray(x_aff)[:, cfg.FLANKING_BASE_NUM, :])
+        return BatchResult(
+            p_aff=p_aff,
+            p_neg=p_neg,
+            posterior=posterior,
+            forward_acgt=fwd,
+            reverse_acgt=rev,
+        )
+
+    def run_batch_fused(self, x_aff, x_neg, cov_aff, cov_neg):
+        """Pure-device path (posterior+argmax+QUAL on TPU); returns device arrays."""
+        xa = self._put(self._pad(np.asarray(x_aff, np.float32)))
+        xn = self._put(self._pad(np.asarray(x_neg, np.float32)))
+        ca = self._put(self._pad(np.asarray(cov_aff, np.float32), value=1))
+        cn = self._put(self._pad(np.asarray(cov_neg, np.float32), value=1))
+        return self._forward_fused(self.aff_params, self.neg_params, xa, xn, ca, cn)
+
+
+def make_mesh(devices=None, axis_name="data") -> Mesh:
+    """1-D data-parallel mesh over all local devices (SURVEY.md §5.8)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
