@@ -1,0 +1,122 @@
+"""ctypes binding for the native BAM -> entry-table decoder.
+
+Builds the .so on first use if missing (g++ + zlib are baked into the
+image); falls back cleanly when compilation is impossible so the pure-Python
+path (bamio/bam.py + PileupEngine.add_read) keeps everything working.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpileup_native.so")
+_SRC = os.path.join(_DIR, "pileup_native.cpp")
+
+_lib = None
+_load_error = None
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC, "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.pileup_load.restype = ctypes.c_void_p
+        lib.pileup_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pileup_n_entries.restype = ctypes.c_int64
+        lib.pileup_n_entries.argtypes = [ctypes.c_void_p]
+        lib.pileup_n_reads.restype = ctypes.c_int64
+        lib.pileup_n_reads.argtypes = [ctypes.c_void_p]
+        lib.pileup_iseq_blob_len.restype = ctypes.c_int64
+        lib.pileup_iseq_blob_len.argtypes = [ctypes.c_void_p]
+        lib.pileup_export.restype = None
+        lib.pileup_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+        lib.pileup_free.restype = None
+        lib.pileup_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # pragma: no cover
+        _load_error = e
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_entry_table(bam_path, ctg, start, end, excl_flags=2316, min_mapq=0,
+                     handle_overlaps=True):
+    """Decode reads into entry-table numpy arrays (native fast path).
+
+    Returns dict(pos, code, bq, mq, hp, ikind, ilen, iseq list) matching the
+    PileupEngine internal layout, or None if the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.pileup_load(
+        bam_path.encode(), ctg.encode() if ctg else None,
+        int(start), int(end), int(excl_flags), int(min_mapq),
+        1 if handle_overlaps else 0,
+    )
+    if not h:
+        raise IOError(f"pileup_native failed to load {bam_path} {ctg}:{start}-{end}")
+    try:
+        n = lib.pileup_n_entries(h)
+        blob_len = lib.pileup_iseq_blob_len(h)
+        pos = np.empty(n, np.int64)
+        code = np.empty(n, np.int8)
+        bq = np.empty(n, np.int16)
+        mq = np.empty(n, np.int16)
+        hp = np.empty(n, np.int8)
+        ikind = np.empty(n, np.int8)
+        ilen = np.empty(n, np.int32)
+        iseq_off = np.empty(n, np.int64)
+        blob = np.empty(blob_len, np.uint8)
+        read_id = np.empty(n, np.int32)
+        eflags = np.empty(n, np.int8)
+        if n:
+            lib.pileup_export(
+                h,
+                pos.ctypes.data_as(ctypes.c_void_p),
+                code.ctypes.data_as(ctypes.c_void_p),
+                bq.ctypes.data_as(ctypes.c_void_p),
+                mq.ctypes.data_as(ctypes.c_void_p),
+                hp.ctypes.data_as(ctypes.c_void_p),
+                ikind.ctypes.data_as(ctypes.c_void_p),
+                ilen.ctypes.data_as(ctypes.c_void_p),
+                iseq_off.ctypes.data_as(ctypes.c_void_p),
+                blob.ctypes.data_as(ctypes.c_void_p),
+                read_id.ctypes.data_as(ctypes.c_void_p),
+                eflags.ctypes.data_as(ctypes.c_void_p),
+            )
+        blob_bytes = blob.tobytes().decode("latin-1")
+        iseq = [
+            blob_bytes[iseq_off[i] : iseq_off[i] + ilen[i]]
+            if ikind[i] == 1 and iseq_off[i] >= 0
+            else ""
+            for i in range(n)
+        ]
+        return dict(
+            pos=pos, code=code, bq=bq, mq=mq, hp=hp,
+            ikind=ikind, ilen=ilen, iseq=iseq,
+            read_id=read_id, eflags=eflags,
+        )
+    finally:
+        lib.pileup_free(h)

@@ -1,0 +1,421 @@
+// Native BAM -> column-entry-table decoder (the pileup hot loop).
+//
+// Replaces the per-read Python loop in clairs_to_tpu/bamio/pileup.py
+// (PileupEngine.add_read) — which itself replaces the reference's
+// `samtools mpileup` text pipeline (src/create_tensor_pileup_calling.py:442)
+// — with a single C++ pass: BGZF inflate (zlib) -> BAM record parse ->
+// CIGAR walk emitting one column entry per (read, ref position):
+//
+//   entry = { pos, code (0-3 ACGT fwd / 4-7 acgt rev / 8 '*' / 9 '#' /
+//             10 skip), bq, mq, hp, indel kind/len, insertion seq }
+//
+// Semantics mirror pileup.py exactly (indel suffix attaches to the anchor
+// entry, last-wins; deletion placeholder bq = next aligned base's quality;
+// htslib-style read-pair overlap quality tweaking).  The Python side wraps
+// the returned arrays in the same PileupEngine used by the pure-Python path,
+// so every downstream reduction (channel counts, candidate gating, alt_info)
+// is shared and the two paths are cross-validated in tests.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -o libpileup_native.so \
+//            pileup_native.cpp -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+constexpr int8_t CODE_DEL_FWD = 8;
+constexpr int8_t CODE_DEL_REV = 9;
+constexpr int8_t CODE_SKIP = 10;
+constexpr int8_t INDEL_NONE = 0, INDEL_INS = 1, INDEL_DEL = 2;
+
+constexpr uint16_t FLAG_PAIRED = 0x1;
+constexpr uint16_t FLAG_REVERSE = 0x10;
+
+const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+int8_t base_code(char b, bool rev) {
+  switch (b) {
+    case 'A': return rev ? 4 : 0;
+    case 'C': return rev ? 5 : 1;
+    case 'G': return rev ? 6 : 2;
+    case 'T': return rev ? 7 : 3;
+    default: return CODE_SKIP;
+  }
+}
+
+struct EntryTable {
+  std::vector<int64_t> pos;
+  std::vector<int8_t> code;
+  std::vector<int16_t> bq;
+  std::vector<int16_t> mq;
+  std::vector<int8_t> hp;
+  std::vector<int8_t> ikind;
+  std::vector<int32_t> ilen;
+  std::vector<int64_t> iseq_off;  // offset into iseq_blob; -1 if none
+  std::vector<int32_t> read_id;
+  std::vector<int8_t> eflags;     // bit1 read-start entry, bit2 read-end
+  std::string iseq_blob;
+  int64_t n_reads = 0;
+};
+
+// ----------------------------------------------------------------- BGZF ---
+// Streaming BGZF inflater over a whole file.
+class BgzfReader {
+ public:
+  explicit BgzfReader(const char* path) : fp_(fopen(path, "rb")) {}
+  ~BgzfReader() {
+    if (fp_) fclose(fp_);
+  }
+  bool ok() const { return fp_ != nullptr; }
+
+  // Read exactly n bytes of decompressed data; returns false at clean EOF
+  // (when 0 bytes available), aborts on short read.
+  bool read(void* dst, size_t n) {
+    uint8_t* out = static_cast<uint8_t*>(dst);
+    size_t got = 0;
+    while (got < n) {
+      if (buf_pos_ == buf_.size()) {
+        if (!next_block()) return got == 0 ? false : throw_short();
+      }
+      size_t take = std::min(n - got, buf_.size() - buf_pos_);
+      memcpy(out + got, buf_.data() + buf_pos_, take);
+      buf_pos_ += take;
+      got += take;
+    }
+    return true;
+  }
+
+ private:
+  bool throw_short() {
+    fprintf(stderr, "pileup_native: truncated BGZF stream\n");
+    exit(3);
+  }
+  bool next_block() {
+    uint8_t header[12];
+    size_t n = fread(header, 1, 12, fp_);
+    if (n == 0) return false;
+    if (n < 12 || header[0] != 0x1f || header[1] != 0x8b) return false;
+    uint16_t xlen = header[10] | (header[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, fp_) != xlen) return false;
+    int bsize = -1;
+    for (size_t e = 0; e + 4 <= extra.size();) {
+      uint8_t si1 = extra[e], si2 = extra[e + 1];
+      uint16_t slen = extra[e + 2] | (extra[e + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2)
+        bsize = (extra[e + 4] | (extra[e + 5] << 8)) + 1;
+      e += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    int cdata_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(cdata_len);
+    if (fread(cdata.data(), 1, cdata_len, fp_) != (size_t)cdata_len) return false;
+    uint8_t footer[8];
+    if (fread(footer, 1, 8, fp_) != 8) return false;
+    uint32_t isize = footer[4] | (footer[5] << 8) | (footer[6] << 16) |
+                     ((uint32_t)footer[7] << 24);
+    buf_.resize(isize);
+    buf_pos_ = 0;
+    if (isize == 0) return next_block();  // EOF marker block
+    z_stream zs{};
+    inflateInit2(&zs, -15);
+    zs.next_in = cdata.data();
+    zs.avail_in = cdata_len;
+    zs.next_out = buf_.data();
+    zs.avail_out = isize;
+    int ret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return ret == Z_STREAM_END;
+  }
+
+  FILE* fp_;
+  std::vector<uint8_t> buf_;
+  size_t buf_pos_ = 0;
+};
+
+// --------------------------------------------------------------- decoder ---
+struct OverlapSpan {
+  std::vector<std::pair<int64_t, int64_t>> pos_idx;  // (ref pos, entry index)
+};
+
+class Decoder {
+ public:
+  Decoder(EntryTable* t, bool handle_overlaps)
+      : t_(t), handle_overlaps_(handle_overlaps) {}
+
+  void add_read(const char* name, uint16_t flag, int64_t pos0, uint8_t mapq,
+                const uint32_t* cigar, int n_cigar, const uint8_t* seq4,
+                const uint8_t* qual, int l_seq, int hp) {
+    bool rev = flag & FLAG_REVERSE;
+    int64_t first_idx = (int64_t)t_->pos.size();
+    int64_t last_entry_idx = -1;
+    int64_t ref_pos = pos0;
+    int qpos = 0;
+    auto seq_at = [&](int i) -> char {
+      uint8_t c = (i & 1) ? (seq4[i >> 1] & 0xF) : (seq4[i >> 1] >> 4);
+      return SEQ_NT16[c];
+    };
+    int32_t rid = (int32_t)t_->n_reads;
+    auto push = [&](int64_t p, int8_t code, int16_t bq) -> int64_t {
+      t_->pos.push_back(p);
+      t_->code.push_back(code);
+      t_->bq.push_back(bq);
+      t_->mq.push_back(mapq);
+      t_->hp.push_back((int8_t)hp);
+      t_->ikind.push_back(INDEL_NONE);
+      t_->ilen.push_back(0);
+      t_->iseq_off.push_back(-1);
+      t_->read_id.push_back(rid);
+      t_->eflags.push_back(0);
+      return (int64_t)t_->pos.size() - 1;
+    };
+
+    for (int i = 0; i < n_cigar; i++) {
+      int op = cigar[i] & 0xF;
+      int ln = cigar[i] >> 4;
+      if (op == 0 || op == 7 || op == 8) {  // M, =, X
+        for (int k = 0; k < ln; k++) {
+          char b = seq_at(qpos + k);
+          int16_t q = l_seq ? qual[qpos + k] : 0;
+          last_entry_idx = push(ref_pos + k, base_code(b, rev), q);
+        }
+        ref_pos += ln;
+        qpos += ln;
+      } else if (op == 1) {  // I: suffix on anchor (last-wins)
+        if (last_entry_idx >= 0 && t_->pos[last_entry_idx] == ref_pos - 1) {
+          t_->ikind[last_entry_idx] = INDEL_INS;
+          t_->ilen[last_entry_idx] = ln;
+          t_->iseq_off[last_entry_idx] = (int64_t)t_->iseq_blob.size();
+          for (int k = 0; k < ln; k++) {
+            char b = seq_at(qpos + k);
+            t_->iseq_blob.push_back(rev ? (char)tolower(b) : b);
+          }
+        }
+        qpos += ln;
+      } else if (op == 2) {  // D
+        if (last_entry_idx >= 0 && t_->pos[last_entry_idx] == ref_pos - 1) {
+          t_->ikind[last_entry_idx] = INDEL_DEL;
+          t_->ilen[last_entry_idx] = ln;
+        }
+        int nxt = qpos < l_seq ? qpos : (l_seq ? l_seq - 1 : 0);
+        int16_t del_bq = l_seq ? qual[nxt] : 0;
+        int8_t code = rev ? CODE_DEL_REV : CODE_DEL_FWD;
+        for (int k = 0; k < ln; k++)
+          last_entry_idx = push(ref_pos + k, code, del_bq);
+        ref_pos += ln;
+      } else if (op == 3) {  // N
+        ref_pos += ln;
+        last_entry_idx = -1;
+      } else if (op == 4) {  // S
+        qpos += ln;
+      }
+    }
+
+    if ((int64_t)t_->pos.size() > first_idx) {
+      t_->eflags[first_idx] |= 1;
+      t_->eflags[t_->pos.size() - 1] |= 2;
+    }
+    if (handle_overlaps_ && (flag & FLAG_PAIRED))
+      overlap_adjust(name, first_idx);
+    t_->n_reads++;
+  }
+
+ private:
+  void overlap_adjust(const char* name, int64_t first_idx) {
+    OverlapSpan span;
+    for (int64_t i = first_idx; i < (int64_t)t_->pos.size(); i++)
+      if (t_->code[i] < 8) span.pos_idx.emplace_back(t_->pos[i], i);
+    auto it = pending_.find(name);
+    if (it == pending_.end()) {
+      pending_.emplace(name, std::move(span));
+      return;
+    }
+    std::unordered_map<int64_t, int64_t> prev;
+    prev.reserve(it->second.pos_idx.size());
+    for (auto& pi : it->second.pos_idx) prev[pi.first] = pi.second;
+    for (auto& pi : span.pos_idx) {
+      auto pit = prev.find(pi.first);
+      if (pit == prev.end()) continue;
+      int64_t i1 = pit->second, i2 = pi.second;
+      int c1 = t_->code[i1] % 4, c2 = t_->code[i2] % 4;
+      int q1 = t_->bq[i1], q2 = t_->bq[i2];
+      if (c1 == c2) {
+        t_->bq[i1] = (int16_t)std::min(q1 + q2, 200);
+        t_->bq[i2] = 0;
+      } else if (q1 >= q2) {
+        t_->bq[i1] = (int16_t)(0.8 * q1);
+        t_->bq[i2] = 0;
+      } else {
+        t_->bq[i2] = (int16_t)(0.8 * q2);
+        t_->bq[i1] = 0;
+      }
+    }
+    pending_.erase(it);
+  }
+
+  EntryTable* t_;
+  bool handle_overlaps_;
+  std::unordered_map<std::string, OverlapSpan> pending_;
+};
+
+int find_hp_tag(const uint8_t* tags, int tags_len) {
+  int pos = 0;
+  while (pos + 3 <= tags_len) {
+    char t0 = tags[pos], t1 = tags[pos + 1], typ = tags[pos + 2];
+    pos += 3;
+    int val = 0;
+    bool is_hp = (t0 == 'H' && t1 == 'P');
+    switch (typ) {
+      case 'A': case 'c': case 'C':
+        val = (int8_t)tags[pos]; pos += 1; break;
+      case 's': case 'S': {
+        int16_t v; memcpy(&v, tags + pos, 2); val = v; pos += 2; break;
+      }
+      case 'i': case 'I': {
+        int32_t v; memcpy(&v, tags + pos, 4); val = v; pos += 4; break;
+      }
+      case 'f': pos += 4; break;
+      case 'Z': case 'H':
+        while (pos < tags_len && tags[pos]) pos++;
+        pos++;
+        break;
+      case 'B': {
+        char sub = tags[pos];
+        uint32_t cnt;
+        memcpy(&cnt, tags + pos + 1, 4);
+        int size = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2 : 4;
+        pos += 5 + size * (int)cnt;
+        break;
+      }
+      default:
+        return 0;
+    }
+    if (is_hp && (typ == 'c' || typ == 'C' || typ == 's' || typ == 'S' ||
+                  typ == 'i' || typ == 'I' || typ == 'A'))
+      return val;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode reads of `ctg` overlapping [start, end) into an entry table.
+// Returns an opaque handle (EntryTable*), or nullptr on error.
+void* pileup_load(const char* bam_path, const char* ctg, int64_t start,
+                  int64_t end, int excl_flags, int min_mapq,
+                  int handle_overlaps) {
+  BgzfReader r(bam_path);
+  if (!r.ok()) return nullptr;
+  char magic[4];
+  if (!r.read(magic, 4) || memcmp(magic, "BAM\1", 4) != 0) return nullptr;
+  int32_t l_text;
+  r.read(&l_text, 4);
+  std::vector<char> text(l_text);
+  r.read(text.data(), l_text);
+  int32_t n_ref;
+  r.read(&n_ref, 4);
+  int target_rid = -1;
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name;
+    r.read(&l_name, 4);
+    std::vector<char> nm(l_name);
+    r.read(nm.data(), l_name);
+    int32_t l_ref;
+    r.read(&l_ref, 4);
+    if (ctg && strcmp(nm.data(), ctg) == 0) target_rid = i;
+  }
+  if (ctg && target_rid < 0) return nullptr;
+
+  auto* table = new EntryTable();
+  Decoder dec(table, handle_overlaps != 0);
+  std::vector<uint8_t> rec;
+  while (true) {
+    int32_t block_size;
+    if (!r.read(&block_size, 4)) break;
+    rec.resize(block_size);
+    if (!r.read(rec.data(), block_size)) break;
+    int32_t ref_id, pos, l_seq, next_ref, next_pos, tlen;
+    memcpy(&ref_id, rec.data(), 4);
+    memcpy(&pos, rec.data() + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint8_t mapq = rec[9];
+    uint16_t n_cigar, flag;
+    memcpy(&n_cigar, rec.data() + 12, 2);
+    memcpy(&flag, rec.data() + 14, 2);
+    memcpy(&l_seq, rec.data() + 16, 4);
+    memcpy(&next_ref, rec.data() + 20, 4);
+    memcpy(&next_pos, rec.data() + 24, 4);
+    memcpy(&tlen, rec.data() + 28, 4);
+    if (flag & excl_flags) continue;
+    if (mapq < min_mapq) continue;
+    if (target_rid >= 0 && ref_id != target_rid) continue;
+    if (pos >= end) continue;  // sorted BAMs could break; stay safe for unsorted
+    const char* name = (const char*)rec.data() + 32;
+    const uint32_t* cigar = (const uint32_t*)(rec.data() + 32 + l_read_name);
+    const uint8_t* seq4 = rec.data() + 32 + l_read_name + 4 * n_cigar;
+    const uint8_t* qual = seq4 + (l_seq + 1) / 2;
+    // reference span check
+    int64_t span = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      int op = cigar[i] & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        span += cigar[i] >> 4;
+    }
+    if (pos + span <= start) continue;
+    const uint8_t* tags = qual + l_seq;
+    int tags_len = (int)(rec.data() + block_size - tags);
+    int hp = find_hp_tag(tags, tags_len);
+    // qual 0xFF sentinel -> zeros
+    std::vector<uint8_t> qual_buf;
+    if (l_seq && qual[0] == 0xFF) {
+      qual_buf.assign(l_seq, 0);
+      qual = qual_buf.data();
+    }
+    dec.add_read(name, flag, pos, mapq, cigar, n_cigar, seq4, qual, l_seq, hp);
+  }
+  return table;
+}
+
+int64_t pileup_n_entries(void* h) {
+  return ((EntryTable*)h)->pos.size();
+}
+
+int64_t pileup_n_reads(void* h) { return ((EntryTable*)h)->n_reads; }
+
+int64_t pileup_iseq_blob_len(void* h) {
+  return (int64_t)((EntryTable*)h)->iseq_blob.size();
+}
+
+// Copy columns into caller-allocated numpy buffers.
+void pileup_export(void* h, int64_t* pos, int8_t* code, int16_t* bq,
+                   int16_t* mq, int8_t* hp, int8_t* ikind, int32_t* ilen,
+                   int64_t* iseq_off, char* iseq_blob, int32_t* read_id,
+                   int8_t* eflags) {
+  auto* t = (EntryTable*)h;
+  size_t n = t->pos.size();
+  memcpy(pos, t->pos.data(), n * sizeof(int64_t));
+  memcpy(code, t->code.data(), n * sizeof(int8_t));
+  memcpy(bq, t->bq.data(), n * sizeof(int16_t));
+  memcpy(mq, t->mq.data(), n * sizeof(int16_t));
+  memcpy(hp, t->hp.data(), n * sizeof(int8_t));
+  memcpy(ikind, t->ikind.data(), n * sizeof(int8_t));
+  memcpy(ilen, t->ilen.data(), n * sizeof(int32_t));
+  memcpy(iseq_off, t->iseq_off.data(), n * sizeof(int64_t));
+  memcpy(iseq_blob, t->iseq_blob.data(), t->iseq_blob.size());
+  memcpy(read_id, t->read_id.data(), n * sizeof(int32_t));
+  memcpy(eflags, t->eflags.data(), n * sizeof(int8_t));
+}
+
+void pileup_free(void* h) { delete (EntryTable*)h; }
+
+}  // extern "C"

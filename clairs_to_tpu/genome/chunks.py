@@ -20,8 +20,8 @@ class Chunk:
     ctg_name: str
     chunk_id: int        # 0-based
     chunk_num: int
-    ctg_start: int       # 1-based inclusive
-    ctg_end: int         # 1-based inclusive
+    ctg_start: int       # 0-based inclusive
+    ctg_end: int         # 0-based exclusive
 
     @property
     def region(self):

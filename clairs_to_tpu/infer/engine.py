@@ -91,11 +91,15 @@ class InferenceEngine:
         device_batch: int = cfg.TPU_DEVICE_BATCH,
         min_rescale_cov: float = float(cfg.MIN_RESCALE_COV),
         mesh: Optional[Mesh] = None,
+        cvt_config=None,
+        bigru_config=None,
     ):
         assert mode in ("snv", "indel")
         self.mode = mode
-        self.cvt_config = cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
-        self.bigru_config = (
+        self.cvt_config = cvt_config or (
+            cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
+        )
+        self.bigru_config = bigru_config or (
             bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
         )
         self.n_alleles = len(self.cvt_config.alleles)

@@ -1,0 +1,218 @@
+"""End-to-end per-chunk somatic calling pipeline.
+
+Reference call path (run_clairs_to:1181-1317 STEPs 1-2): per (contig, chunk),
+extract_candidates -> create_tensor (AFF + NEG mpileup passes) -> predict ->
+call_variants -> per-chunk VCF, all as separate GNU-parallel processes with
+file handoff.  Here it is one resident process per host: BAM decoded once per
+chunk, both tensor views derived from the same event table (bamio/pileup.py),
+candidates batched into the jitted TPU engine, VCF rows written directly.
+
+The dual-view asymmetry (SURVEY.md §2.2): the AFF tensor uses the platform
+min_bq, the NEG tensor min_bq=0 (run_clairs_to:1237 vs :1264); for Illumina
+and HiFi (min_bq 0) the views coincide and are computed once.
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from clairs_to_tpu import config as cfg
+from clairs_to_tpu.bamio.bam import BamFile
+from clairs_to_tpu.bamio.pileup import PileupEngine
+from clairs_to_tpu.genome.chunks import Chunk
+from clairs_to_tpu.infer.calling import CandidateRecord, emit_calls
+from clairs_to_tpu.infer.engine import InferenceEngine
+
+FLANK = cfg.FLANKING_BASE_NUM
+WIN = cfg.NO_OF_POSITIONS
+
+
+@dataclass
+class PipelineOptions:
+    platform: str = "ont"
+    snv_min_af: float = cfg.SNV_MIN_AF
+    indel_min_af: float = cfg.INDEL_MIN_AF
+    min_coverage: int = cfg.MIN_COVERAGE
+    alternative_base_num: int = cfg.ALTERNATIVE_BASE_NUM
+    qual_cutoff: Optional[float] = 0
+    show_ref: bool = False
+    select_indel_candidates: bool = False
+    max_indel_length: int = cfg.MAX_INDEL_LENGTH
+    handle_overlaps: bool = True
+    phase_tensor: bool = False
+    use_native: bool = True   # C++ decoder when available (bamio/native)
+
+
+@dataclass
+class ChunkResult:
+    chunk: Chunk
+    snv_rows: List[dict] = field(default_factory=list)
+    indel_rows: List[dict] = field(default_factory=list)
+    n_candidates: int = 0
+
+
+class CallingPipeline:
+    """Single-host pipeline: BAM chunk -> candidates -> tensors -> calls."""
+
+    def __init__(
+        self,
+        fasta,                      # genome.fasta.FastaFile
+        bam_path: str,
+        snv_engine: InferenceEngine,
+        indel_engine: Optional[InferenceEngine] = None,
+        options: PipelineOptions = None,
+    ):
+        self.fasta = fasta
+        self.bam_path = bam_path
+        self.snv_engine = snv_engine
+        self.indel_engine = indel_engine
+        self.opt = options or PipelineOptions()
+        self._bam = BamFile(bam_path)
+        self.platform = cfg.platform_family(self.opt.platform)
+        self.aff_min_bq = cfg.MIN_BQ_DICT.get(self.opt.platform,
+                                              cfg.MIN_BQ_DICT.get(self.platform, 0))
+
+    # ------------------------------------------------------------------
+    def build_chunk_views(self, chunk: Chunk):
+        """Decode reads once; return (engine, aff_counts, neg_counts,
+        aff_depth, neg_depth, region_start) with ref encoding applied.
+
+        Region spans [ctg_start - 33, ctg_end + 33) 0-based like the
+        reference's extended mpileup region (create_tensor:405-412).
+        """
+        ctg = chunk.ctg_name
+        ctg_len = self.fasta.contig_length(ctg)
+        region_start = max(chunk.ctg_start - WIN, 0)
+        region_end = min(chunk.ctg_end + WIN, ctg_len)
+        ref_start = max(region_start - cfg.EXPAND_REFERENCE_REGION, 0)
+        ref_end = min(region_end + cfg.EXPAND_REFERENCE_REGION, ctg_len)
+        ref_seq = self.fasta.fetch(ctg, ref_start, ref_end)
+
+        pe = None
+        if self.opt.use_native:
+            from clairs_to_tpu.bamio import native
+
+            if native.available():
+                table = native.load_entry_table(
+                    self.bam_path, ctg, region_start, region_end,
+                    excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+                    handle_overlaps=self.opt.handle_overlaps,
+                )
+                pe = PileupEngine.from_entry_table(
+                    table, ref_seq, ref_start,
+                    platform=self.opt.platform,
+                    max_indel_length=self.opt.max_indel_length,
+                )
+        if pe is None:
+            pe = PileupEngine(
+                ref_seq,
+                ref_start,
+                platform=self.opt.platform,
+                max_indel_length=self.opt.max_indel_length,
+                handle_overlaps=self.opt.handle_overlaps,
+            )
+            for read in self._bam.fetch(
+                ctg, region_start, region_end, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG
+            ):
+                pe.add_read(read)
+
+        aff_counts, aff_depth = pe.channel_counts(
+            self.aff_min_bq, region_start, region_end,
+            with_phasing=self.opt.phase_tensor,
+        )
+        if self.aff_min_bq == 0:
+            neg_counts, neg_depth = aff_counts, aff_depth
+        else:
+            neg_counts, neg_depth = pe.channel_counts(
+                0, region_start, region_end, with_phasing=self.opt.phase_tensor
+            )
+        pe.apply_reference_encoding(aff_counts, region_start)
+        if neg_counts is not aff_counts:
+            pe.apply_reference_encoding(neg_counts, region_start)
+        return pe, aff_counts, neg_counts, region_start, region_end
+
+    def _window(self, counts, center, region_start):
+        i = center - region_start
+        return counts[i - FLANK : i + FLANK + 1, : cfg.PILEUP_CHANNEL_SIZE]
+
+    # ------------------------------------------------------------------
+    def call_chunk(self, chunk: Chunk) -> ChunkResult:
+        opt = self.opt
+        pe, aff_counts, neg_counts, region_start, region_end = self.build_chunk_views(chunk)
+
+        snv_pos, indel_pos, infos = pe.find_candidates(
+            chunk.ctg_start, chunk.ctg_end,
+            min_bq=self.aff_min_bq,
+            min_coverage=opt.min_coverage,
+            snv_min_af=opt.snv_min_af,
+            indel_min_af=opt.indel_min_af,
+            alternative_base_num=opt.alternative_base_num,
+            select_indel_candidates=opt.select_indel_candidates,
+        )
+        result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
+
+        result.snv_rows = self._call_positions(
+            pe, chunk, snv_pos, aff_counts, neg_counts, region_start, region_end,
+            self.snv_engine, mode="snv",
+        )
+        if opt.select_indel_candidates and self.indel_engine is not None:
+            result.indel_rows = self._call_positions(
+                pe, chunk, indel_pos, aff_counts, neg_counts, region_start, region_end,
+                self.indel_engine, mode="indel",
+            )
+        return result
+
+    def _call_positions(
+        self, pe, chunk, positions, aff_counts, neg_counts, region_start,
+        region_end, engine, mode,
+    ):
+        if not positions:
+            return []
+        # windows fully inside the computed region only (create_tensor:540-543)
+        positions = [
+            p for p in positions
+            if p - FLANK >= region_start and p + FLANK + 1 <= region_end
+        ]
+        if not positions:
+            return []
+        aff_alt = pe.alt_info_at(positions, min_bq=self.aff_min_bq)
+        if neg_counts is aff_counts:
+            neg_alt = aff_alt
+        else:
+            neg_alt = pe.alt_info_at(positions, min_bq=0)
+
+        x_aff = np.stack([self._window(aff_counts, p, region_start) for p in positions])
+        x_neg = np.stack([self._window(neg_counts, p, region_start) for p in positions])
+        cov_aff = np.array([aff_alt[p][1] for p in positions], np.float32)
+        cov_neg = np.array([neg_alt[p][1] for p in positions], np.float32)
+
+        batch = engine.run_batch(
+            x_aff.astype(np.float32), x_neg.astype(np.float32), cov_aff, cov_neg
+        )
+        records = [
+            CandidateRecord(
+                chrom=chunk.ctg_name,
+                pos=p + 1,  # VCF 1-based
+                ref_base=pe._ref_base(p),
+                alt_info=aff_alt[p][0],
+            )
+            for p in positions
+        ]
+        rows = []
+        from clairs_to_tpu.infer.calling import call_from_posterior
+
+        for i, rec in enumerate(records):
+            row = call_from_posterior(
+                rec,
+                batch.posterior[i],
+                batch.forward_acgt[i],
+                batch.reverse_acgt[i],
+                mode=mode,
+                show_ref=self.opt.show_ref,
+                qual_cutoff=self.opt.qual_cutoff,
+            )
+            if row is not None:
+                rows.append(row)
+        return rows

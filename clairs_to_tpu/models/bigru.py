@@ -79,22 +79,33 @@ def _linear(x, p):
     return jnp.dot(x, p["weight"].T, preferred_element_type=jnp.float32, precision=PRECISION) + p["bias"]
 
 
-def forward(params, x, config: BiGRUConfig = SNV_BIGRU_CONFIG):
+def forward(params, x, config: BiGRUConfig = SNV_BIGRU_CONFIG,
+            dropout_rate: float = 0.0, rng=None):
     """Run the BiGRU trunk + per-allele heads.
 
     Args:
       params: pytree from ``init`` / ``models.convert``.
       x: (B, 33, 34) pileup tensors.
+      dropout_rate/rng: training-time fc dropout (reference dropout 0.3,
+        model.py:407,447-453); inference leaves them at 0/None.
     Returns:
       (B, n_alleles, num_classes) logits, allele order config.alleles.
     """
+    def dropout(t, key):
+        if dropout_rate <= 0.0 or rng is None:
+            return t
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(jax.random.fold_in(rng, key), keep, t.shape)
+        return jnp.where(mask, t / keep, 0.0)
+
     out = _bigru_layer(x, params["gru1"], config.hidden1)
     out = _bigru_layer(out, params["gru2"], config.hidden2)
     b = out.shape[0]
-    feat = jax.nn.selu(_linear(out.reshape(b, -1), params["fc1"]))
+    flat = dropout(out.reshape(b, -1), 0)
+    feat = jax.nn.selu(dropout(_linear(flat, params["fc1"]), 1))
     logits = []
-    for al in config.alleles:
-        h = jax.nn.selu(_linear(feat, params["heads"][al]["fc2"]))
+    for i, al in enumerate(config.alleles):
+        h = jax.nn.selu(dropout(_linear(feat, params["heads"][al]["fc2"]), 2 + i))
         h = jax.nn.selu(_linear(h, params["heads"][al]["fc3"]))
         logits.append(h)
     return jnp.stack(logits, axis=1)

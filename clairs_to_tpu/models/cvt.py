@@ -151,15 +151,25 @@ def _transformer(x, blocks, heads, dim_head, kv_stride):
     return x
 
 
-def forward(params, x, config: CvTConfig = SNV_CVT_CONFIG):
+def forward(params, x, config: CvTConfig = SNV_CVT_CONFIG,
+            dropout_rate: float = 0.0, rng=None):
     """Run the CvT trunk + per-allele heads.
 
     Args:
       params: pytree from ``init`` / ``models.convert``.
       x: (B, 33, 34) pileup tensors.
+      dropout_rate/rng: training-time fc dropout (reference dropout_fc=0.3,
+        model.py:179,241-248); inference leaves them at 0/None.
     Returns:
       (B, n_alleles, num_classes) logits, allele order config.alleles.
     """
+    def dropout(t, key):
+        if dropout_rate <= 0.0 or rng is None:
+            return t
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(jax.random.fold_in(rng, key), keep, t.shape)
+        return jnp.where(mask, t / keep, 0.0)
+
     # (B, W, C) -> NCHW with H=1 (model.py:231-233)
     x = x.transpose(0, 2, 1)[:, :, None, :]
     for s in range(config.num_stages):
@@ -178,10 +188,11 @@ def forward(params, x, config: CvTConfig = SNV_CVT_CONFIG):
         )
     b = x.shape[0]
     flat = x.reshape(b, -1)  # NCHW row-major == torch flatten
-    feat = jax.nn.selu(_linear(flat, params["fc1"]))
+    flat = dropout(flat, 0)
+    feat = jax.nn.selu(dropout(_linear(flat, params["fc1"]), 1))
     logits = []
-    for al in config.alleles:
-        h = jax.nn.selu(_linear(feat, params["heads"][al]["fc2"]))
+    for i, al in enumerate(config.alleles):
+        h = jax.nn.selu(dropout(_linear(feat, params["heads"][al]["fc2"]), 2 + i))
         h = jax.nn.selu(_linear(h, params["heads"][al]["fc3"]))
         logits.append(h)
     return jnp.stack(logits, axis=1)

@@ -1,0 +1,98 @@
+"""Verdict orchestration: allele counts -> LogR/BAF -> [correction] ->
+germline genotypes -> ASPCF -> ASCAT -> binomial tagging.
+
+In-memory port of /root/reference/src/cna_germline_tagging.py:56-199 (the
+7-step sub-pipeline).  The reference runs on chr1-22,X against the G1000
+loci resource; here loci can come from any source (the CLI uses the het
+candidates from calling when no loci resource is given, which is the only
+option without the downloadable CNA resource bundle).  GC/replication-timing
+correction runs when track arrays are supplied.
+"""
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from clairs_to_tpu.verdict.allele_counter import allele_counts_at
+from clairs_to_tpu.verdict.aspcf import aspcf_segment
+from clairs_to_tpu.verdict.ascat import run_ascat, AscatResult
+from clairs_to_tpu.verdict.logr_baf import (
+    correct_logr,
+    logr_baf,
+    predict_germline_genotypes,
+)
+from clairs_to_tpu.verdict.tagging import tag_vcf_rows
+
+
+@dataclass
+class VerdictResult:
+    purity: Optional[float]
+    ploidy: Optional[float]
+    segments: List[Tuple]          # (ctg, start1, end1, cn_major, cn_minor)
+    n_tagged: int
+    applied: bool
+    reason: str = ""
+
+
+def run_verdict(
+    pileup_engines,       # {ctg: PileupEngine} over the loci regions
+    loci,                 # {ctg: (positions0, ref_idx, alt_idx)} candidate het loci
+    rows,                 # VCF row dicts to tag (PASS rows considered)
+    gamma=1.0,
+    penalty=100,
+    gc_content=None,
+    replication_timing=None,
+    rng=None,
+) -> VerdictResult:
+    rng = rng or np.random.default_rng(0)
+    all_logr, all_baf, all_chrom, all_pos = [], [], [], []
+    ctg_order = sorted(loci.keys())
+    for ci, ctg in enumerate(ctg_order):
+        positions, ref_idx, alt_idx = loci[ctg]
+        counts = allele_counts_at(pileup_engines[ctg], positions)
+        ref_counts = counts[np.arange(len(positions)), ref_idx]
+        alt_counts = counts[np.arange(len(positions)), alt_idx]
+        lr, baf, keep = logr_baf(ref_counts, alt_counts, rng=rng)
+        kept_pos = np.asarray(positions)[keep]
+        all_logr.append(lr)
+        all_baf.append(baf)
+        all_chrom.append(np.full(len(lr), ci))
+        all_pos.append(kept_pos)
+    if not all_logr or sum(len(x) for x in all_logr) < 12:
+        return VerdictResult(None, None, [], 0, False, "too few usable loci")
+
+    logr = np.concatenate(all_logr)
+    baf = np.concatenate(all_baf)
+    chrom = np.concatenate(all_chrom)
+    pos = np.concatenate(all_pos)
+
+    if gc_content is not None and replication_timing is not None:
+        logr = correct_logr(logr, gc_content, replication_timing)
+
+    hom = predict_germline_genotypes(baf, chrom)
+    logr_seg, baf_seg, het_mask = aspcf_segment(logr, baf, hom, chrom, penalty=penalty)
+    if logr_seg is None:
+        return VerdictResult(None, None, [], 0, False, "no heterozygous loci")
+
+    res: Optional[AscatResult] = run_ascat(logr_seg, baf_seg, het_mask, baf, gamma=gamma)
+    if res is None:
+        return VerdictResult(None, None, [], 0, False, "no ASCAT optimum")
+
+    segments = []
+    for (start, end, n_major, n_minor) in res.segments:
+        ctg = ctg_order[int(chrom[start])]
+        segments.append(
+            (ctg, int(pos[start]) + 1, int(pos[end]) + 1, int(n_major), int(n_minor))
+        )
+
+    n_tagged = tag_vcf_rows(rows, res.purity, segments)
+    applied = res.purity <= 0.6
+    return VerdictResult(
+        purity=res.purity,
+        ploidy=res.ploidy,
+        segments=segments,
+        n_tagged=n_tagged,
+        applied=applied,
+        reason="" if applied else "purity > 0.6",
+    )

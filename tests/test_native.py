@@ -1,0 +1,76 @@
+"""Native C++ decoder vs pure-Python decoder: identical entry semantics."""
+
+import numpy as np
+import pytest
+
+from clairs_to_tpu import config as cfg
+from clairs_to_tpu.bamio import native, simulate
+from clairs_to_tpu.bamio.bam import BamFile
+from clairs_to_tpu.bamio.pileup import PileupEngine
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("simnat")
+    return simulate.make_dataset(
+        str(out), seed=7, genome_len=30_000, coverage=40,
+        n_snv=10, n_indel=6, n_germline=5,
+    )
+
+
+def _python_engine(ds, start, end):
+    eng = PileupEngine(ds["genome"], 0, platform="ont")
+    bam = BamFile(ds["bam"])
+    for read in bam.fetch(ds["ctg"], start, end, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG):
+        eng.add_read(read)
+    return eng
+
+
+def _native_engine(ds, start, end):
+    table = native.load_entry_table(ds["bam"], ds["ctg"], start, end)
+    return PileupEngine.from_entry_table(table, ds["genome"], 0, platform="ont")
+
+
+def test_entry_tables_match(dataset):
+    start, end = 0, 30_000
+    py = _python_engine(dataset, start, end)
+    nat = _native_engine(dataset, start, end)
+    a, b = py._finalize(), nat._finalize()
+    assert len(a["pos"]) == len(b["pos"])
+    for k in ("pos", "code", "bq", "mq", "hp", "ikind", "ilen", "read_id", "eflags"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert list(py._iseq) == list(nat._iseq)
+
+
+@pytest.mark.parametrize("min_bq", [0, 20])
+def test_channel_counts_match(dataset, min_bq):
+    py = _python_engine(dataset, 0, 30_000)
+    nat = _native_engine(dataset, 0, 30_000)
+    ca, da = py.channel_counts(min_bq, 0, 30_000)
+    cb, db = nat.channel_counts(min_bq, 0, 30_000)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(da, db)
+
+
+def test_candidates_match(dataset):
+    py = _python_engine(dataset, 0, 30_000)
+    nat = _native_engine(dataset, 0, 30_000)
+    sa, ia, _ = py.find_candidates(0, 30_000, select_indel_candidates=True)
+    sb, ib, _ = nat.find_candidates(0, 30_000, select_indel_candidates=True)
+    assert sa == sb
+    assert ia == ib
+    alt_a = py.alt_info_at(sa + ia, min_bq=20)
+    alt_b = nat.alt_info_at(sb + ib, min_bq=20)
+    assert alt_a == alt_b
+
+
+def test_region_subset(dataset):
+    """Native region loading must include reads overlapping the boundary."""
+    py = _python_engine(dataset, 10_000, 20_000)
+    nat = _native_engine(dataset, 10_000, 20_000)
+    ca, da = py.channel_counts(0, 10_000, 20_000)
+    cb, db = nat.channel_counts(0, 10_000, 20_000)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(da, db)
