@@ -87,6 +87,12 @@ class DemoResult:
     report: str
 
 
+DEFAULT_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "demo_ont_snv",
+)
+
+
 def run_demo(
     out_dir,
     quick=True,
@@ -99,11 +105,26 @@ def run_demo(
     epochs=None,
     use_tiny=True,
     device_batch=512,
+    model_dir=DEFAULT_ASSET_DIR,
 ):
-    """Run the full self-contained demo; returns DemoResult."""
+    """Run the full self-contained demo; returns DemoResult.
+
+    With ``model_dir`` containing trained assets (aff.npz/neg.npz/
+    likelihood_matrix.txt, produced by tools/train_demo_assets.py) the demo
+    loads them; otherwise the networks are trained from scratch on
+    synthesized tensors (bench/synth.py — redrawn reference context per
+    sample prevents genome-context memorization, and the eval pass runs on
+    BAM-derived tensors, so train->eval crosses the synthesis/pileup
+    boundary).
+    """
+    import jax
+
+    from clairs_to_tpu.ops.posterior import load_likelihood_matrix
+    from clairs_to_tpu.train import load_checkpoint
+
     os.makedirs(out_dir, exist_ok=True)
     genome_len = genome_len or (60_000 if quick else 400_000)
-    epochs = epochs or (40 if quick else 60)
+    epochs = epochs or (70 if quick else 100)
     n_snv = max(genome_len // 1200, 12)
     n_germ = max(genome_len // 4000, 6)
 
@@ -113,39 +134,54 @@ def run_demo(
             coverage=coverage, n_snv=n_snv, n_germline=n_germ,
         )
 
-    # --- train -----------------------------------------------------------
-    # Networks are trained on directly-synthesized tensors (bench/synth.py):
-    # redrawn reference context per sample prevents the genome-context
-    # memorization that a handful of simulated genomes would invite, and the
-    # eval pass below runs on BAM-derived tensors, so train->eval crosses the
-    # synthesis/pileup boundary.
-    from clairs_to_tpu.bench.synth import synthesize_batch
+    cvt_config = TINY_CVT if use_tiny else None
+    bigru_config = TINY_BIGRU if use_tiny else None
 
-    rng = np.random.default_rng(train_seeds[0])
-    n_train = 4000 if quick else 20000
-    x, cov, som = synthesize_batch(rng, n_train, depth_range=(30, 90))
+    have_assets = model_dir and os.path.exists(os.path.join(model_dir, "aff.npz"))
+    if have_assets:
+        from clairs_to_tpu.models import cvt as cvt_mod, bigru as bigru_mod
 
-    trainer = DualTrainer(
-        mode="snv",
-        tc=TrainConfig(batch_size=min(len(x), 256), epochs=epochs),
-        cvt_config=TINY_CVT if use_tiny else None,
-        bigru_config=TINY_BIGRU if use_tiny else None,
-    )
-    trainer.fit(x, som, rescale_cov=cov)
+        aff_params = load_checkpoint(
+            os.path.join(model_dir, "aff.npz"),
+            cvt_mod.init(jax.random.PRNGKey(0), cvt_config),
+        )
+        neg_params = load_checkpoint(
+            os.path.join(model_dir, "neg.npz"),
+            bigru_mod.init(jax.random.PRNGKey(1), bigru_config),
+        )
+        lik = load_likelihood_matrix(
+            os.path.join(model_dir, "likelihood_matrix.txt"), n_alleles=4
+        )
+    else:
+        from clairs_to_tpu.bench.synth import synthesize_batch
 
-    # --- calibrate -------------------------------------------------------
-    ds_cal = sim(calib_seed, "calib")
-    xc, covc, somc, _ = build_labeled_tensors(ds_cal, platform=platform, seed=calib_seed)
-    p_aff, p_neg = trainer.predict_probs(xc, rescale_cov=covc)
-    lik = calibrate_likelihood(p_aff, p_neg, somc)
+        rng = np.random.default_rng(train_seeds[0])
+        n_train = 6000 if quick else 20000
+        x, cov, som = synthesize_batch(
+            rng, n_train, depth_range=(25, 95), somatic_af_range=(0.08, 0.35)
+        )
+        trainer = DualTrainer(
+            mode="snv",
+            tc=TrainConfig(batch_size=min(len(x), 256), epochs=epochs,
+                           learning_rate=1e-3),
+            cvt_config=cvt_config,
+            bigru_config=bigru_config,
+        )
+        trainer.fit(x, som, rescale_cov=cov)
+        aff_params = trainer.params["aff"]
+        neg_params = trainer.params["neg"]
+        ds_cal = sim(calib_seed, "calib")
+        xc, covc, somc, _ = build_labeled_tensors(ds_cal, platform=platform, seed=calib_seed)
+        p_aff, p_neg = trainer.predict_probs(xc, rescale_cov=covc)
+        lik = calibrate_likelihood(p_aff, p_neg, somc)
 
     # --- call ------------------------------------------------------------
     ds_eval = sim(eval_seed, "eval")
     fasta = FastaFile(ds_eval["fasta"])
     engine = InferenceEngine(
-        trainer.params["aff"], trainer.params["neg"], lik, mode="snv",
+        aff_params, neg_params, lik, mode="snv",
         device_batch=device_batch,
-        cvt_config=trainer.cvt_config, bigru_config=trainer.bigru_config,
+        cvt_config=cvt_config, bigru_config=bigru_config,
     )
     pipe = CallingPipeline(
         fasta, ds_eval["bam"], snv_engine=engine,

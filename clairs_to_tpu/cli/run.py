@@ -97,7 +97,7 @@ def load_engines(args, mesh=None):
     from clairs_to_tpu.infer.engine import InferenceEngine
     from clairs_to_tpu.models import cvt, bigru
     from clairs_to_tpu.ops.posterior import load_likelihood_matrix, uniform_likelihood_data
-    from clairs_to_tpu.train import load_checkpoint
+    from clairs_to_tpu.train import load_checkpoint_auto
 
     def resolve(explicit, sub):
         if explicit:
@@ -120,14 +120,16 @@ def load_engines(args, mesh=None):
             args.snv_likelihood_matrix_data if mode == "snv"
             else args.indel_likelihood_matrix_data, prefix + "likelihood_matrix.txt")
         n_alleles = 4 if mode == "snv" else 6
-        cvt_cfg = cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
-        gru_cfg = bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
-        aff = cvt.init(jax.random.PRNGKey(0), cvt_cfg)
-        neg = bigru.init(jax.random.PRNGKey(1), gru_cfg)
         if aff_path:
-            aff = load_checkpoint(aff_path, aff)
+            aff, cvt_cfg = load_checkpoint_auto(aff_path, mode=mode, kind="cvt")
+        else:
+            cvt_cfg = cvt.SNV_CVT_CONFIG if mode == "snv" else cvt.INDEL_CVT_CONFIG
+            aff = cvt.init(jax.random.PRNGKey(0), cvt_cfg)
         if neg_path:
-            neg = load_checkpoint(neg_path, neg)
+            neg, gru_cfg = load_checkpoint_auto(neg_path, mode=mode, kind="bigru")
+        else:
+            gru_cfg = bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
+            neg = bigru.init(jax.random.PRNGKey(1), gru_cfg)
         if not aff_path or not neg_path:
             print(f"[WARNING] No trained {mode} checkpoints found — using random weights.")
         lik = (
@@ -136,7 +138,8 @@ def load_engines(args, mesh=None):
             else uniform_likelihood_data(n_alleles)
         )
         return InferenceEngine(
-            aff, neg, lik, mode=mode, device_batch=args.device_batch, mesh=mesh
+            aff, neg, lik, mode=mode, device_batch=args.device_batch, mesh=mesh,
+            cvt_config=cvt_cfg, bigru_config=gru_cfg,
         )
 
     snv_engine = build("snv")
@@ -155,6 +158,57 @@ def default_qual(args):
         else cfg.MIN_THRED_QUAL_INDEL.get(fam, 8)
     )
     return snv_q, indel_q
+
+
+def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, args):
+    """Run hard filters against the chunk's entry table (STEP 4 equivalents).
+
+    Long-read: internal phasing (phasing/phaser.py replaces longphase/
+    whatshap) + the 9-verdict haplotype filter; Illumina: the no-phasing
+    postfilter family."""
+    pe, aff_counts, neg_counts, region_start, region_end = pipe.build_chunk_views(chunk)
+    pass_rows = [r for r in res.snv_rows if r["FILTER"] == "PASS"]
+    if not pass_rows:
+        return
+
+    if apply_hap_filter:
+        from clairs_to_tpu.phasing.phaser import phase_and_tag
+        from clairs_to_tpu.postcall.haplotype import (
+            HaplotypeFilterEngine,
+            apply_haplotype_filters,
+        )
+
+        # het germline proxies: 0/1 rows from this chunk's calling output
+        het_sites = [
+            (r["POS"] - 1, r["REF"], r["ALT"])
+            for r in res.snv_rows
+            if r["GT"] == "0/1" and len(r["REF"]) == 1 and len(r["ALT"]) == 1
+            and r["AF"] >= 0.35  # germline-like AF band for phasing anchors
+        ]
+        phase_and_tag(pe, het_sites)
+        engine = HaplotypeFilterEngine(
+            pe,
+            hetero_germline=[(p, a) for (p, _r, a) in het_sites],
+        )
+        verdicts = {}
+        for row in pass_rows:
+            verdicts[(row["CHROM"], row["POS"])] = engine.verdict(
+                row["POS"] - 1, row["REF"], row["ALT"], af=row["AF"]
+            )
+        apply_haplotype_filters(res.snv_rows, verdicts)
+    elif apply_postfilter:
+        from clairs_to_tpu.postcall.hardfilter import (
+            HardFilterEngine,
+            apply_hard_filters,
+        )
+
+        engine = HardFilterEngine(pe)
+        verdicts = {}
+        for row in pass_rows:
+            verdicts[(row["CHROM"], row["POS"])] = engine.verdict(
+                row["POS"] - 1, row["REF"], row["ALT"]
+            )
+        apply_hard_filters(res.snv_rows, verdicts)
 
 
 def main(argv=None):
@@ -209,6 +263,18 @@ def main(argv=None):
         select_indel_candidates=call_indels,
         max_indel_length=args.max_indel_length,
     )
+    fam = cfg.platform_family(args.platform)
+    apply_hap_filter = (
+        _str2bool(args.apply_haplotype_filtering)
+        if args.apply_haplotype_filtering is not None
+        else (fam != "ilmn" and not args.disable_intermediate_phasing)
+    )
+    apply_postfilter = (
+        _str2bool(args.enable_postfilter)
+        if args.enable_postfilter is not None
+        else fam == "ilmn"
+    )
+
     pipe = CallingPipeline(
         fasta, args.tumor_bam_fn, snv_engine, indel_engine, options
     )
@@ -218,6 +284,14 @@ def main(argv=None):
     for ch in chunks:
         res = pipe.call_chunk(ch)
         n_cand += res.n_candidates
+
+        # long-read: internal phasing + 9-verdict haplotype filtering; ilmn:
+        # no-phasing postfilter (run_clairs_to STEP 4, :1450-1514)
+        if res.snv_rows and (apply_hap_filter or apply_postfilter):
+            _apply_chunk_filters(
+                pipe, ch, res, apply_hap_filter, apply_postfilter, args
+            )
+
         sp = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
         w = VcfWriter(sp, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
                       sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
@@ -236,27 +310,44 @@ def main(argv=None):
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
 
-    # --- merge + postcall ------------------------------------------------
-    snv_final = os.path.join(args.output_dir, f"{args.snv_output_prefix}.vcf")
-    merge_vcf_files(snv_paths, snv_final)
+    # --- merge + postcall (sort_vcf -> PoN -> postprocess, run_clairs_to
+    # STEPs 3/5) ----------------------------------------------------------
+    from clairs_to_tpu.postcall.postprocess import postprocess_vcf
+
+    snv_merged = os.path.join(vcf_out, "snv_pileup.vcf")
+    merge_vcf_files(snv_paths, snv_merged)
 
     if args.panel_of_normals and not args.disable_nonsomatic_tagging:
         from clairs_to_tpu.postcall.nonsomatic import tag_nonsomatic_file
 
         tag_nonsomatic_file(
-            snv_final, snv_final,
+            snv_merged, snv_merged,
             args.panel_of_normals.split(","),
             require_allele_matching=(
                 [_str2bool(x) for x in args.panel_of_normals_require_allele_matching.split(",")]
                 if args.panel_of_normals_require_allele_matching
                 else None
             ),
+            print_nonsomatic_calls=not args.do_not_print_nonsomatic_calls,
         )
+
+    snv_final = os.path.join(args.output_dir, f"{args.snv_output_prefix}.vcf")
+    postprocess_vcf(
+        snv_merged, snv_final, platform=args.platform, ref_fn=args.ref_fn,
+        sample_name=args.sample_name, qual=args.qual,
+        qual_cutoff_phaseable_region=args.qual_cutoff_phaseable_region,
+        qual_cutoff_unphaseable_region=args.qual_cutoff_unphaseable_region,
+    )
 
     print(f"[INFO] SNV output: {snv_final}")
     if call_indels:
+        indel_merged = os.path.join(vcf_out, "indel_pileup.vcf")
+        merge_vcf_files(indel_paths, indel_merged)
         indel_final = os.path.join(args.output_dir, f"{args.indel_output_prefix}.vcf")
-        merge_vcf_files(indel_paths, indel_final)
+        postprocess_vcf(
+            indel_merged, indel_final, platform=args.platform, ref_fn=args.ref_fn,
+            sample_name=args.sample_name, qual=args.qual_indel, is_indel=True,
+        )
         print(f"[INFO] Indel output: {indel_final}")
     print(f"[INFO] {n_cand} candidates, total time {time.time() - t0:.1f}s")
     return 0

@@ -1,0 +1,143 @@
+"""Internal read-backed phasing + haplotagging.
+
+The reference shells out to longphase/whatshap for intermediate phasing and
+haplotagging (run_clairs_to:1362-1445) — external C++ tools that are not
+part of its codebase.  This module makes the framework self-contained: a
+greedy read-graph phaser over het germline SNPs (HapCUT-style objective:
+orient each het site to maximize agreement with reads already assigned) and
+a majority-vote read haplotagger, both operating on the shared entry table.
+
+* ``select_hetero_snps`` mirrors src/select_hetero_snp_for_phasing.py:40-103:
+  keep 0/1 SNVs from the germline/pileup VCF and drop the lowest-qual 30%.
+* ``phase_het_snps`` returns per-site phase orientation (0: ref->hap1,
+  1: alt->hap1) over connected components.
+* ``haplotag_reads`` assigns HP in {0,1,2} per read (0 = untagged) and can
+  write the assignment back into the entry table's ``hp`` column, after
+  which tensor HP channels and the 9-verdict haplotype filter behave exactly
+  as with an externally haplotagged BAM.
+"""
+
+from collections import defaultdict
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def select_hetero_snps(records, var_pct_full=0.3):
+    """Pick 0/1 SNVs for phasing, dropping the lowest-qual fraction.
+
+    records: iterable of VcfRecord-like (ref_base, alt_base, genotype, qual,
+    pos).  Returns sorted list of (pos, ref, alt).
+    (select_hetero_snp_for_phasing.py:40-103)
+    """
+    hets = []
+    for rec in records:
+        if len(rec.ref_base) != 1 or len(rec.alt_base) != 1:
+            continue
+        if sorted(rec.genotype) != [0, 1]:
+            continue
+        try:
+            qual = float(rec.qual) if rec.qual is not None else 0.0
+        except (TypeError, ValueError):
+            qual = 0.0
+        hets.append((qual, rec.pos, rec.ref_base, rec.alt_base))
+    if not hets:
+        return []
+    hets.sort()
+    cut = int(len(hets) * var_pct_full)
+    kept = hets[cut:]
+    return sorted((pos, ref, alt) for (_q, pos, ref, alt) in kept)
+
+
+def _site_read_alleles(pileup_engine, het_sites, min_bq=0, min_mq=20):
+    """For each het site: {read_id: allele} with allele 0=ref,1=alt."""
+    a = pileup_engine._finalize()
+    sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] < 8) & (a["ikind"] == 0)
+    idx = np.nonzero(sel)[0]
+    pos = a["pos"][idx]
+    order = np.argsort(pos, kind="stable")
+    idx, pos = idx[order], pos[order]
+    out = []
+    want = [p for (p, _r, _a) in het_sites]
+    lo = np.searchsorted(pos, want, side="left")
+    hi = np.searchsorted(pos, want, side="right")
+    for k, (p, ref, alt) in enumerate(het_sites):
+        ref_code = "ACGT".index(ref)
+        alt_code = "ACGT".index(alt)
+        alleles = {}
+        for j in idx[lo[k] : hi[k]]:
+            base = int(a["code"][j]) % 4
+            rid = int(a["read_id"][j])
+            if base == ref_code:
+                alleles[rid] = 0
+            elif base == alt_code:
+                alleles[rid] = 1
+        out.append(alleles)
+    return out
+
+
+def phase_het_snps(pileup_engine, het_sites, min_bq=0, min_mq=20):
+    """Greedy read-consistency phasing.
+
+    Returns (orientations: list[int] aligned with het_sites, site_alleles).
+    orientation o for a site means: allele o goes to haplotype 1.
+    """
+    site_alleles = _site_read_alleles(pileup_engine, het_sites, min_bq, min_mq)
+    orientations = [0] * len(het_sites)
+    # read -> accumulated hap1-vote weight (+1 if read looks hap1)
+    read_vote: Dict[int, int] = defaultdict(int)
+    for k, alleles in enumerate(site_alleles):
+        if not alleles:
+            continue
+        # score orientation 0: ref-carrying reads on hap1
+        score0 = 0
+        for rid, al in alleles.items():
+            v = read_vote.get(rid, 0)
+            if v == 0:
+                continue
+            hap1ish = v > 0
+            # orientation 0: allele 0 => hap1
+            score0 += 1 if (al == 0) == hap1ish else -1
+        o = 0 if score0 >= 0 else 1
+        orientations[k] = o
+        for rid, al in alleles.items():
+            read_vote[rid] += 1 if al == o else -1
+    return orientations, site_alleles
+
+
+def haplotag_reads(n_reads, orientations, site_alleles):
+    """Majority-vote HP per read: 1 if most phased sites say hap1, 2 if hap2,
+    0 if no information or tie."""
+    votes = np.zeros(n_reads, dtype=np.int32)
+    for o, alleles in zip(orientations, site_alleles):
+        for rid, al in alleles.items():
+            votes[rid] += 1 if al == o else -1
+    hp = np.zeros(n_reads, dtype=np.int8)
+    hp[votes > 0] = 1
+    hp[votes < 0] = 2
+    return hp
+
+
+def apply_haplotags(pileup_engine, hp_per_read):
+    """Overwrite the entry table's hp column from a per-read HP array."""
+    a = pileup_engine._finalize()
+    new_hp = hp_per_read[a["read_id"]]
+    a["hp"] = new_hp.astype(np.int8)
+    pileup_engine._hp = a["hp"]
+    return pileup_engine
+
+
+def phase_and_tag(pileup_engine, het_sites, min_bq=0, min_mq=20):
+    """Convenience: phase + haplotag + apply to the entry table.
+
+    Returns the per-read HP array."""
+    a = pileup_engine._finalize()
+    n_reads = int(a["read_id"].max()) + 1 if len(a["read_id"]) else 0
+    if not het_sites or n_reads == 0:
+        return np.zeros(n_reads, dtype=np.int8)
+    orientations, site_alleles = phase_het_snps(
+        pileup_engine, het_sites, min_bq, min_mq
+    )
+    hp = haplotag_reads(n_reads, orientations, site_alleles)
+    apply_haplotags(pileup_engine, hp)
+    return hp

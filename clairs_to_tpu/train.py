@@ -226,15 +226,36 @@ def save_likelihood_matrix(path, lik: LikelihoodData):
     return path
 
 
-def save_checkpoint(path, params):
-    """Flat .npz checkpoint of a params pytree."""
+def save_checkpoint(path, params, arch=None):
+    """Flat .npz checkpoint of a params pytree.
+
+    ``arch``: optional dict describing the architecture (kind + config
+    fields) stored under '__arch__' so loaders can rebuild the right config
+    without out-of-band information.
+    """
+    import json
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     arrays = {}
     for keypath, leaf in flat:
         key = "/".join(str(k) for k in keypath)
         arrays[key] = np.asarray(leaf)
+    if arch is not None:
+        arrays["__arch__"] = np.frombuffer(
+            json.dumps(arch).encode(), dtype=np.uint8
+        )
     np.savez_compressed(path, **arrays)
     return path
+
+
+def checkpoint_arch(path):
+    """Read the '__arch__' metadata dict from a checkpoint, or None."""
+    import json
+
+    data = np.load(path)
+    if "__arch__" not in data.files:
+        return None
+    return json.loads(bytes(data["__arch__"]).decode())
 
 
 def load_checkpoint(path, like_params):
@@ -248,3 +269,33 @@ def load_checkpoint(path, like_params):
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like_params), leaves
     )
+
+
+def load_checkpoint_auto(path, mode="snv", kind="cvt"):
+    """Load a checkpoint, rebuilding its architecture from '__arch__' (or
+    the default flagship config when absent).  Returns (params, config)."""
+    from clairs_to_tpu.models import bigru as bigru_mod
+    from clairs_to_tpu.models import cvt as cvt_mod
+
+    arch = checkpoint_arch(path)
+    if kind == "cvt":
+        if arch:
+            config = cvt_mod.CvTConfig(
+                **{k: tuple(v) if isinstance(v, list) else v
+                   for k, v in arch.items() if k != "kind"}
+            )
+        else:
+            config = cvt_mod.SNV_CVT_CONFIG if mode == "snv" else cvt_mod.INDEL_CVT_CONFIG
+        like = cvt_mod.init(jax.random.PRNGKey(0), config)
+    else:
+        if arch:
+            config = bigru_mod.BiGRUConfig(
+                **{k: tuple(v) if isinstance(v, list) else v
+                   for k, v in arch.items() if k != "kind"}
+            )
+        else:
+            config = (
+                bigru_mod.SNV_BIGRU_CONFIG if mode == "snv" else bigru_mod.INDEL_BIGRU_CONFIG
+            )
+        like = bigru_mod.init(jax.random.PRNGKey(1), config)
+    return load_checkpoint(path, like), config

@@ -1,0 +1,69 @@
+"""End-to-end CLI runs against the committed demo model assets."""
+
+import os
+
+import pytest
+
+from clairs_to_tpu.bamio import simulate
+from clairs_to_tpu.bench.compare import compare_vcf
+from clairs_to_tpu.bench.demo import DEFAULT_ASSET_DIR
+from clairs_to_tpu.cli.run import main as cli_main
+
+has_assets = os.path.exists(os.path.join(DEFAULT_ASSET_DIR, "aff.npz"))
+pytestmark = pytest.mark.skipif(not has_assets, reason="demo assets missing")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("clisim")
+    return simulate.make_dataset(
+        str(out), seed=77, genome_len=50_000, coverage=55, n_snv=20, n_germline=8
+    )
+
+
+def test_cli_end_to_end_f1(dataset, tmp_path):
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([
+        "-T", dataset["bam"],
+        "-R", dataset["fasta"],
+        "-o", out_dir,
+        "-t", "2",
+        "-p", "ont",
+        "--disable_indel_calling", "true",
+        "--model_dir", DEFAULT_ASSET_DIR,
+        "--device_batch", "256",
+        "--disable_intermediate_phasing",  # tested separately; simulator reads are unphased-friendly
+    ])
+    assert rc == 0
+    snv = os.path.join(out_dir, "snv.vcf")
+    assert os.path.exists(snv)
+    res = compare_vcf(dataset["truth"], snv, input_filter_tag="PASS")
+    print(f"\nCLI F1={res.f1} P={res.precision} R={res.recall} TP={res.tp} FP={res.fp} FN={res.fn}")
+    assert res.f1 >= 0.85, (res.f1, res.tp, res.fp, res.fn)
+
+
+def test_cli_dry_run(dataset, tmp_path, capsys):
+    rc = cli_main([
+        "-T", dataset["bam"], "-R", dataset["fasta"], "-o", str(tmp_path / "o"),
+        "-t", "1", "-p", "ont", "--dry_run",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "DRY RUN" in out and "chrS" in out
+
+
+def test_cli_region_restriction(dataset, tmp_path):
+    out_dir = str(tmp_path / "out_r")
+    rc = cli_main([
+        "-T", dataset["bam"], "-R", dataset["fasta"], "-o", out_dir,
+        "-t", "1", "-p", "ont", "--disable_indel_calling", "true",
+        "--model_dir", DEFAULT_ASSET_DIR, "--device_batch", "256",
+        "--disable_intermediate_phasing",
+        "-r", "chrS:1-10000",
+    ])
+    assert rc == 0
+    body = [
+        l for l in open(os.path.join(out_dir, "snv.vcf"))
+        if not l.startswith("#")
+    ]
+    assert all(int(l.split("\t")[1]) <= 10000 + 50000 for l in body)
