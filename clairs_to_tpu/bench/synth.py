@@ -63,8 +63,15 @@ def synthesize_batch(
     flank_germline_rate=0.02,
     error_rate=0.002,
     class_probs=(0.45, 0.2, 0.05, 0.3),
+    mode="snv",
 ):
-    """Returns (x (n,33,34) float32, cov (n,), somatic_allele (n,) int32)."""
+    """Returns (x (n,33,34) float32, cov (n,), somatic_allele (n,) int32).
+
+    mode='snv': classes ref / germline-het / germline-hom / somatic-SNV
+    (label = alt base index 0-3).  mode='indel': the somatic class splits
+    evenly into SNV (negative for the 6-allele nets), insertion (label 4,
+    I/I1 channels) and deletion (label 5, D/D1 + '*' placeholder columns).
+    """
     x = np.zeros((n, WIN, cfg.PILEUP_CHANNEL_SIZE), np.float32)
     cov = np.zeros(n, np.float32)
     som = np.full(n, -1, np.int32)
@@ -88,6 +95,7 @@ def synthesize_batch(
         ref_idx = int(ref_indices[FLANK])
         klass = classes[i]
         alt_idx = (ref_idx + int(rng.integers(1, 4))) % 4
+        indel_kind = None  # 'ins' | 'del' for mode='indel' somatic class
         if klass == 0:
             af = 0.0
         elif klass == 1:
@@ -96,12 +104,42 @@ def synthesize_batch(
             af = float(np.clip(rng.normal(1.0, 0.01), 0.9, 1.0))
         else:
             af = float(rng.uniform(*somatic_af_range))
+            if mode == "indel":
+                indel_kind = ("snv", "ins", "del")[int(rng.integers(0, 3))]
         alt_count = rng.binomial(depth, af) if af > 0 else 0
-        _fill_column(t, FLANK, ref_idx, depth, alt_idx if af > 0 else None,
-                     alt_count, rng, error_rate)
-        _encode_ref(t, FLANK, ref_idx)
-        if klass == 3 and alt_count >= cfg.ALTERNATIVE_BASE_NUM:
-            som[i] = alt_idx
+
+        if indel_kind in ("ins", "del"):
+            # center column: ref bases minus indel carriers; indel channels
+            _fill_column(t, FLANK, ref_idx, depth - alt_count, rng=rng,
+                         error_rate=error_rate)
+            fwd_cnt = rng.binomial(alt_count, 0.5)
+            rev_cnt = alt_count - fwd_cnt
+            if indel_kind == "ins":
+                t[FLANK, _CH["I"]] += fwd_cnt
+                t[FLANK, _CH["i"]] += rev_cnt
+                t[FLANK, _CH["I1"]] = fwd_cnt
+                t[FLANK, _CH["i1"]] = rev_cnt
+            else:
+                dlen = int(rng.integers(1, 4))
+                t[FLANK, _CH["D"]] += fwd_cnt
+                t[FLANK, _CH["d"]] += rev_cnt
+                t[FLANK, _CH["D1"]] = fwd_cnt
+                t[FLANK, _CH["d1"]] = rev_cnt
+                for dcol in range(FLANK + 1, min(FLANK + 1 + dlen, WIN)):
+                    t[dcol, _CH["*"]] += fwd_cnt
+                    t[dcol, _CH["#"]] += rev_cnt
+            _encode_ref(t, FLANK, ref_idx)
+            if alt_count >= cfg.ALTERNATIVE_BASE_NUM:
+                som[i] = 4 if indel_kind == "ins" else 5
+        else:
+            _fill_column(t, FLANK, ref_idx, depth, alt_idx if af > 0 else None,
+                         alt_count, rng, error_rate)
+            _encode_ref(t, FLANK, ref_idx)
+            if klass == 3 and alt_count >= cfg.ALTERNATIVE_BASE_NUM:
+                # mode='indel': SNV sites are negatives for the I/D alleles
+                # but positives for their base allele (label semantics match
+                # the 6-allele nets: som index = allele index)
+                som[i] = alt_idx
         x[i] = t.astype(np.float32)
         cov[i] = depth
     return x, cov, som

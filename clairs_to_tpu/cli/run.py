@@ -211,6 +211,77 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
         apply_hard_filters(res.snv_rows, verdicts)
 
 
+def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
+    """Verdict (CNA/purity germline separation) on the final SNV VCF.
+
+    The reference runs against the downloadable G1000 loci resource
+    (src/cna_germline_tagging.py:56-69); without it, the het-like calls from
+    the VCF itself (0/1, AF in [0.3,0.7]) serve as loci — enough to
+    estimate purity/ploidy when the genome carries CNA signal.
+    """
+    from clairs_to_tpu.verdict.pipeline import run_verdict
+
+    rows = []
+    header = []
+    with open(snv_vcf_path) as f:
+        for line in f:
+            if line.startswith("#"):
+                header.append(line)
+                continue
+            cols = line.rstrip("\n").split("\t")
+            fmt = cols[8].split(":")
+            vals = cols[9].split(":")
+            info = dict(zip(fmt, vals))
+            rows.append(
+                dict(
+                    CHROM=cols[0], POS=int(cols[1]), REF=cols[3], ALT=cols[4],
+                    QUAL=float(cols[5]), FILTER=cols[6], INFO=cols[7],
+                    AF=float(info.get("AF", 0)), DP=int(info.get("DP", 0)),
+                    _cols=cols,
+                )
+            )
+    loci = {}
+    engines = {}
+    het_rows = [
+        r for r in rows
+        if len(r["REF"]) == 1 and len(r["ALT"]) == 1 and 0.3 <= r["AF"] <= 0.7
+    ]
+    if len(het_rows) < 12:
+        print("[INFO] Verdict skipped: too few het-like loci")
+        return
+    by_ctg = {}
+    for r in het_rows:
+        by_ctg.setdefault(r["CHROM"], []).append(r)
+    import numpy as np
+
+    for ctg, ctg_rows in by_ctg.items():
+        positions = np.array([r["POS"] - 1 for r in ctg_rows])
+        ref_idx = np.array(["ACGT".index(r["REF"]) for r in ctg_rows])
+        alt_idx = np.array(["ACGT".index(r["ALT"]) for r in ctg_rows])
+        loci[ctg] = (positions, ref_idx, alt_idx)
+        ctg_chunks = [c for c in chunks if c.ctg_name == ctg]
+        if not ctg_chunks:
+            continue
+        pe, *_ = pipe.build_chunk_views(ctg_chunks[0])
+        engines[ctg] = pe
+    loci = {c: l for c, l in loci.items() if c in engines}
+    if not loci:
+        return
+    result = run_verdict(engines, loci, rows)
+    if result.applied and result.n_tagged:
+        with open(snv_vcf_path, "w") as out:
+            out.writelines(header)
+            for r in rows:
+                cols = r["_cols"]
+                cols[6] = r["FILTER"]
+                cols[7] = r["INFO"]
+                out.write("\t".join(cols) + "\n")
+    print(
+        f"[INFO] Verdict: purity={result.purity} ploidy={result.ploidy} "
+        f"tagged={result.n_tagged} ({result.reason or 'applied'})"
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     t0 = time.time()
@@ -253,6 +324,20 @@ def main(argv=None):
     snv_engine, indel_engine = load_engines(args)
     call_indels = indel_engine is not None
 
+    genotyping_sites = None
+    genotyping_mode = None
+    genotyping_vcf = args.genotyping_mode_vcf_fn or args.hybrid_mode_vcf_fn
+    if genotyping_vcf:
+        from clairs_to_tpu.vcf.reader import VcfReader
+
+        genotyping_mode = "genotyping" if args.genotyping_mode_vcf_fn else "hybrid"
+        reader = VcfReader(genotyping_vcf, show_ref=True, skip_genotype=True)
+        reader.read_vcf()
+        genotyping_sites = {}
+        for rec in reader.variant_dict.values():
+            genotyping_sites.setdefault(rec.ctg_name, []).append(rec.pos - 1)
+        genotyping_sites = {c: sorted(p) for c, p in genotyping_sites.items()}
+
     options = PipelineOptions(
         platform=args.platform,
         snv_min_af=args.snv_min_af,
@@ -262,6 +347,8 @@ def main(argv=None):
         show_ref=args.print_ref_calls,
         select_indel_candidates=call_indels,
         max_indel_length=args.max_indel_length,
+        genotyping_sites=genotyping_sites,
+        genotyping_mode=genotyping_mode,
     )
     fam = cfg.platform_family(args.platform)
     apply_hap_filter = (
@@ -338,6 +425,17 @@ def main(argv=None):
         qual_cutoff_phaseable_region=args.qual_cutoff_phaseable_region,
         qual_cutoff_unphaseable_region=args.qual_cutoff_unphaseable_region,
     )
+
+    if genotyping_vcf:
+        from clairs_to_tpu.postcall.addback import add_back_missing
+
+        n_added = add_back_missing(snv_final, genotyping_vcf, fasta,
+                                   sample_name=args.sample_name)
+        if n_added:
+            print(f"[INFO] Added back {n_added} missing genotyping sites")
+
+    if not args.disable_verdict:
+        _run_verdict_stage(args, pipe, chunks, snv_final)
 
     print(f"[INFO] SNV output: {snv_final}")
     if call_indels:

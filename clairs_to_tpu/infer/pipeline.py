@@ -43,6 +43,11 @@ class PipelineOptions:
     handle_overlaps: bool = True
     phase_tensor: bool = False
     use_native: bool = True   # C++ decoder when available (bamio/native)
+    # genotyping (-G) / hybrid (-H) modes (extract_candidates:225-237,347-380):
+    # {ctg: sorted positions (0-based)} of requested sites; 'genotyping'
+    # restricts candidates to these sites, 'hybrid' unions with discovery
+    genotyping_sites: Optional[dict] = None
+    genotyping_mode: Optional[str] = None  # 'genotyping' | 'hybrid' | None
 
 
 @dataclass
@@ -142,20 +147,32 @@ class CallingPipeline:
         opt = self.opt
         pe, aff_counts, neg_counts, region_start, region_end = self.build_chunk_views(chunk)
 
-        snv_pos, indel_pos, infos = pe.find_candidates(
-            chunk.ctg_start, chunk.ctg_end,
-            min_bq=self.aff_min_bq,
-            min_coverage=opt.min_coverage,
-            snv_min_af=opt.snv_min_af,
-            indel_min_af=opt.indel_min_af,
-            alternative_base_num=opt.alternative_base_num,
-            select_indel_candidates=opt.select_indel_candidates,
-        )
+        requested = []
+        if opt.genotyping_mode and opt.genotyping_sites:
+            requested = [
+                p for p in opt.genotyping_sites.get(chunk.ctg_name, [])
+                if chunk.ctg_start <= p < chunk.ctg_end
+                and pe._ref_base(p) in "ACGT"
+            ]
+        if opt.genotyping_mode == "genotyping":
+            snv_pos, indel_pos = requested, []
+        else:
+            snv_pos, indel_pos, infos = pe.find_candidates(
+                chunk.ctg_start, chunk.ctg_end,
+                min_bq=self.aff_min_bq,
+                min_coverage=opt.min_coverage,
+                snv_min_af=opt.snv_min_af,
+                indel_min_af=opt.indel_min_af,
+                alternative_base_num=opt.alternative_base_num,
+                select_indel_candidates=opt.select_indel_candidates,
+            )
+            if opt.genotyping_mode == "hybrid":
+                snv_pos = sorted(set(snv_pos) | set(requested))
         result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
 
         result.snv_rows = self._call_positions(
             pe, chunk, snv_pos, aff_counts, neg_counts, region_start, region_end,
-            self.snv_engine, mode="snv",
+            self.snv_engine, mode="snv", show_ref_at=set(requested),
         )
         if opt.select_indel_candidates and self.indel_engine is not None:
             result.indel_rows = self._call_positions(
@@ -166,7 +183,7 @@ class CallingPipeline:
 
     def _call_positions(
         self, pe, chunk, positions, aff_counts, neg_counts, region_start,
-        region_end, engine, mode,
+        region_end, engine, mode, show_ref_at=frozenset(),
     ):
         if not positions:
             return []
@@ -210,7 +227,7 @@ class CallingPipeline:
                 batch.forward_acgt[i],
                 batch.reverse_acgt[i],
                 mode=mode,
-                show_ref=self.opt.show_ref,
+                show_ref=self.opt.show_ref or (positions[i] in show_ref_at),
                 qual_cutoff=self.opt.qual_cutoff,
             )
             if row is not None:
