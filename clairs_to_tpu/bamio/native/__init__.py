@@ -50,6 +50,15 @@ def get_lib():
         lib.pileup_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
         lib.pileup_free.restype = None
         lib.pileup_free.argtypes = [ctypes.c_void_p]
+        lib.pileup_open_stream.restype = ctypes.c_void_p
+        lib.pileup_open_stream.argtypes = [ctypes.c_char_p]
+        lib.pileup_close_stream.restype = None
+        lib.pileup_close_stream.argtypes = [ctypes.c_void_p]
+        lib.pileup_stream_window.restype = ctypes.c_void_p
+        lib.pileup_stream_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e
@@ -58,6 +67,63 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+class BamStreamReader:
+    """Persistent sequential-window decoder over a coordinate-sorted BAM.
+
+    Visits windows in non-decreasing (contig, start) order; each BAM record
+    is BGZF-inflated and parsed exactly once, with reads spanning window
+    boundaries replayed from an in-memory buffer.  Falls back to a fresh
+    whole-file pass (pileup_load) when a window regresses.
+    """
+
+    def __init__(self, bam_path):
+        self.bam_path = bam_path
+        lib = get_lib()
+        self._h = lib.pileup_open_stream(bam_path.encode()) if lib else None
+        self._last = None
+
+    def close(self):
+        if self._h:
+            get_lib().pileup_close_stream(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def load_window(self, ctg, start, end, excl_flags=2316, min_mapq=0,
+                    handle_overlaps=True):
+        lib = get_lib()
+        if lib is None:
+            return None
+        key = (ctg, int(start))
+        in_order = (
+            self._h is not None
+            and (self._last is None or
+                 (self._last[0] == ctg and key[1] >= self._last[1]) or
+                 self._last[0] != ctg)
+        )
+        regressed = (
+            self._last is not None and self._last[0] == ctg and key[1] < self._last[1]
+        )
+        if self._h is None or regressed:
+            return load_entry_table(
+                self.bam_path, ctg, start, end, excl_flags, min_mapq, handle_overlaps
+            )
+        h = lib.pileup_stream_window(
+            self._h, ctg.encode(), int(start), int(end),
+            int(excl_flags), int(min_mapq), 1 if handle_overlaps else 0,
+        )
+        self._last = key
+        if not h:
+            return load_entry_table(
+                self.bam_path, ctg, start, end, excl_flags, min_mapq, handle_overlaps
+            )
+        return _export_table(lib, h)
 
 
 def load_entry_table(bam_path, ctg, start, end, excl_flags=2316, min_mapq=0,
@@ -77,6 +143,10 @@ def load_entry_table(bam_path, ctg, start, end, excl_flags=2316, min_mapq=0,
     )
     if not h:
         raise IOError(f"pileup_native failed to load {bam_path} {ctg}:{start}-{end}")
+    return _export_table(lib, h)
+
+
+def _export_table(lib, h):
     try:
         n = lib.pileup_n_entries(h)
         blob_len = lib.pileup_iseq_blob_len(h)

@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -307,7 +308,155 @@ int find_hp_tag(const uint8_t* tags, int tags_len) {
 
 }  // namespace
 
+// ---------------------------------------------------------- streaming ----
+// Sequential-chunk streaming: the calling pipeline visits chunks in
+// coordinate order, so instead of re-decoding the BGZF stream per chunk
+// (or needing a BAI index), a persistent BamStream decodes each record
+// once, hands out the records overlapping the current window, and buffers
+// reads that span into the next window.
+struct RawRecord {
+  int32_t ref_id;
+  int64_t pos;
+  int64_t end;
+  std::vector<uint8_t> rec;  // full BAM record body
+};
+
+struct BamStream {
+  BgzfReader* reader = nullptr;
+  std::vector<std::string> ref_names;
+  std::deque<RawRecord> buffer;   // decoded, not yet consumed past their end
+  bool eof = false;
+  ~BamStream() { delete reader; }
+};
+
+int64_t record_ref_span(const uint8_t* rec) {
+  uint16_t n_cigar;
+  memcpy(&n_cigar, rec + 12, 2);
+  uint8_t l_read_name = rec[8];
+  const uint32_t* cigar = (const uint32_t*)(rec + 32 + l_read_name);
+  int64_t span = 0;
+  for (int i = 0; i < n_cigar; i++) {
+    int op = cigar[i] & 0xF;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+      span += cigar[i] >> 4;
+  }
+  return span;
+}
+
+bool decode_one_record(BamStream* s, RawRecord* out) {
+  int32_t block_size;
+  if (!s->reader->read(&block_size, 4)) return false;
+  out->rec.resize(block_size);
+  if (!s->reader->read(out->rec.data(), block_size)) return false;
+  memcpy(&out->ref_id, out->rec.data(), 4);
+  int32_t pos32;
+  memcpy(&pos32, out->rec.data() + 4, 4);
+  out->pos = pos32;
+  out->end = out->pos + record_ref_span(out->rec.data());
+  return true;
+}
+
+void feed_record(Decoder& dec, const RawRecord& rr, int excl_flags,
+                 int min_mapq) {
+  const uint8_t* rec = rr.rec.data();
+  int64_t block_size = rr.rec.size();
+  uint8_t l_read_name = rec[8];
+  uint8_t mapq = rec[9];
+  uint16_t n_cigar, flag;
+  int32_t l_seq;
+  memcpy(&n_cigar, rec + 12, 2);
+  memcpy(&flag, rec + 14, 2);
+  memcpy(&l_seq, rec + 16, 4);
+  if (flag & excl_flags) return;
+  if (mapq < min_mapq) return;
+  const char* name = (const char*)rec + 32;
+  const uint32_t* cigar = (const uint32_t*)(rec + 32 + l_read_name);
+  const uint8_t* seq4 = rec + 32 + l_read_name + 4 * n_cigar;
+  const uint8_t* qual = seq4 + (l_seq + 1) / 2;
+  const uint8_t* tags = qual + l_seq;
+  int tags_len = (int)(rec + block_size - tags);
+  int hp = find_hp_tag(tags, tags_len);
+  std::vector<uint8_t> qual_buf;
+  if (l_seq && qual[0] == 0xFF) {
+    qual_buf.assign(l_seq, 0);
+    qual = qual_buf.data();
+  }
+  dec.add_read(name, flag, rr.pos, mapq, cigar, n_cigar, seq4, qual, l_seq, hp);
+}
+
 extern "C" {
+
+// Open a persistent stream over a coordinate-sorted BAM.
+void* pileup_open_stream(const char* bam_path) {
+  auto* s = new BamStream();
+  s->reader = new BgzfReader(bam_path);
+  if (!s->reader->ok()) { delete s; return nullptr; }
+  char magic[4];
+  if (!s->reader->read(magic, 4) || memcmp(magic, "BAM\1", 4) != 0) {
+    delete s;
+    return nullptr;
+  }
+  int32_t l_text;
+  s->reader->read(&l_text, 4);
+  std::vector<char> text(l_text);
+  s->reader->read(text.data(), l_text);
+  int32_t n_ref;
+  s->reader->read(&n_ref, 4);
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name;
+    s->reader->read(&l_name, 4);
+    std::vector<char> nm(l_name);
+    s->reader->read(nm.data(), l_name);
+    int32_t l_ref;
+    s->reader->read(&l_ref, 4);
+    s->ref_names.emplace_back(nm.data());
+  }
+  return s;
+}
+
+void pileup_close_stream(void* h) { delete (BamStream*)h; }
+
+// Entry table for reads of `ctg` overlapping [start, end).  Requires
+// coordinate-sorted input and non-decreasing (ctg, start) across calls.
+void* pileup_stream_window(void* sh, const char* ctg, int64_t start,
+                           int64_t end, int excl_flags, int min_mapq,
+                           int handle_overlaps) {
+  auto* s = (BamStream*)sh;
+  int rid = -1;
+  for (size_t i = 0; i < s->ref_names.size(); i++)
+    if (s->ref_names[i] == ctg) { rid = (int)i; break; }
+  if (rid < 0) return nullptr;
+
+  auto* table = new EntryTable();
+  Decoder dec(table, handle_overlaps != 0);
+
+  // drop buffered records wholly before the window (or earlier contigs)
+  while (!s->buffer.empty() &&
+         (s->buffer.front().ref_id < rid ||
+          (s->buffer.front().ref_id == rid && s->buffer.front().end <= start)))
+    s->buffer.pop_front();
+  // feed buffered overlapping records
+  for (auto& rr : s->buffer)
+    if (rr.ref_id == rid && rr.pos < end && rr.end > start)
+      feed_record(dec, rr, excl_flags, min_mapq);
+  // advance the stream
+  while (!s->eof) {
+    if (!s->buffer.empty() &&
+        (s->buffer.back().ref_id > rid ||
+         (s->buffer.back().ref_id == rid && s->buffer.back().pos >= end)))
+      break;
+    RawRecord rr;
+    if (!decode_one_record(s, &rr)) { s->eof = true; break; }
+    if (rr.ref_id < rid || (rr.ref_id == rid && rr.end <= start)) continue;
+    bool overlaps = rr.ref_id == rid && rr.pos < end && rr.end > start;
+    if (overlaps) feed_record(dec, rr, excl_flags, min_mapq);
+    bool past = rr.ref_id > rid || (rr.ref_id == rid && rr.pos >= end);
+    // keep records that may overlap future windows
+    s->buffer.push_back(std::move(rr));
+    if (past) break;
+  }
+  return table;
+}
 
 // Decode reads of `ctg` overlapping [start, end) into an entry table.
 // Returns an opaque handle (EntryTable*), or nullptr on error.

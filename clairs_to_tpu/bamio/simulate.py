@@ -148,13 +148,16 @@ def _extend_cigar(cigar, op, ln):
         cigar.append((op, ln))
 
 
-def write_truth_vcf(path, ctg, variants, somatic_only=True):
+def write_truth_vcf(path, ctg, variants, somatic_only=True, kinds=None):
+    """kinds: restrict to {'snv'} or {'ins','del'} etc.; None = all."""
     with open(path, "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         f.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n")
         for v in variants:
             if somatic_only and v.germline:
+                continue
+            if kinds is not None and v.kind not in kinds:
                 continue
             gt = "0/1" if v.af < 0.95 else "1/1"
             f.write(
@@ -208,10 +211,16 @@ def make_dataset(
     bam_writer.write_bam(bam_path, [ctg], [genome_len], records)
     truth_path = os.path.join(out_dir, "truth.vcf")
     write_truth_vcf(truth_path, ctg, variants)
+    truth_snv = os.path.join(out_dir, "truth_snv.vcf")
+    write_truth_vcf(truth_snv, ctg, variants, kinds={"snv"})
+    truth_indel = os.path.join(out_dir, "truth_indel.vcf")
+    write_truth_vcf(truth_indel, ctg, variants, kinds={"ins", "del"})
     return dict(
         fasta=fasta_path,
         bam=bam_path,
         truth=truth_path,
+        truth_snv=truth_snv,
+        truth_indel=truth_indel,
         genome=genome,
         variants=variants,
         ctg=ctg,

@@ -63,6 +63,7 @@ def build_parser():
     adv.add_argument("--chunk_size", type=int, default=cfg.CHUNK_SIZE)
     adv.add_argument("--max_indel_length", type=int, default=cfg.MAX_INDEL_LENGTH)
     adv.add_argument("--min_bq", type=int, default=None)
+    adv.add_argument("--call_indels_only_in_these_regions", default=None)
     adv.add_argument("--panel_of_normals", default=None)
     adv.add_argument("--panel_of_normals_require_allele_matching", default=None)
     adv.add_argument("--disable_nonsomatic_tagging", action="store_true")
@@ -338,6 +339,15 @@ def main(argv=None):
             genotyping_sites.setdefault(rec.ctg_name, []).append(rec.pos - 1)
         genotyping_sites = {c: sorted(p) for c, p in genotyping_sites.items()}
 
+    from clairs_to_tpu.genome.bed import bed_tree_from
+
+    bed_tree = bed_tree_from(args.bed_fn) if args.bed_fn else None
+    indel_bed_tree = (
+        bed_tree_from(args.call_indels_only_in_these_regions)
+        if getattr(args, "call_indels_only_in_these_regions", None)
+        else None
+    )
+
     options = PipelineOptions(
         platform=args.platform,
         snv_min_af=args.snv_min_af,
@@ -349,6 +359,8 @@ def main(argv=None):
         max_indel_length=args.max_indel_length,
         genotyping_sites=genotyping_sites,
         genotyping_mode=genotyping_mode,
+        bed_tree=bed_tree,
+        indel_bed_tree=indel_bed_tree,
     )
     fam = cfg.platform_family(args.platform)
     apply_hap_filter = (

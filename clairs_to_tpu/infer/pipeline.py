@@ -48,6 +48,11 @@ class PipelineOptions:
     # restricts candidates to these sites, 'hybrid' unions with discovery
     genotyping_sites: Optional[dict] = None
     genotyping_mode: Optional[str] = None  # 'genotyping' | 'hybrid' | None
+    # region restriction (run_clairs_to -b/--bed_fn): BedTree or None
+    bed_tree: object = None
+    # indel candidates only inside these regions
+    # (--call_indels_only_in_these_regions, extract_candidates:391-404)
+    indel_bed_tree: object = None
 
 
 @dataclass
@@ -74,7 +79,9 @@ class CallingPipeline:
         self.snv_engine = snv_engine
         self.indel_engine = indel_engine
         self.opt = options or PipelineOptions()
-        self._bam = BamFile(bam_path)
+        self._bam = None          # lazy: pure-Python fallback reader
+        self._stream = None       # native sequential-window stream
+        self._views_memo = None   # (chunk, views): calling + filters share one decode
         self.platform = cfg.platform_family(self.opt.platform)
         self.aff_min_bq = cfg.MIN_BQ_DICT.get(self.opt.platform,
                                               cfg.MIN_BQ_DICT.get(self.platform, 0))
@@ -87,6 +94,8 @@ class CallingPipeline:
         Region spans [ctg_start - 33, ctg_end + 33) 0-based like the
         reference's extended mpileup region (create_tensor:405-412).
         """
+        if self._views_memo is not None and self._views_memo[0] == chunk:
+            return self._views_memo[1]
         ctg = chunk.ctg_name
         ctg_len = self.fasta.contig_length(ctg)
         region_start = max(chunk.ctg_start - WIN, 0)
@@ -100,8 +109,10 @@ class CallingPipeline:
             from clairs_to_tpu.bamio import native
 
             if native.available():
-                table = native.load_entry_table(
-                    self.bam_path, ctg, region_start, region_end,
+                if self._stream is None:
+                    self._stream = native.BamStreamReader(self.bam_path)
+                table = self._stream.load_window(
+                    ctg, region_start, region_end,
                     excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
                     handle_overlaps=self.opt.handle_overlaps,
                 )
@@ -111,6 +122,8 @@ class CallingPipeline:
                     max_indel_length=self.opt.max_indel_length,
                 )
         if pe is None:
+            if self._bam is None:
+                self._bam = BamFile(self.bam_path)
             pe = PileupEngine(
                 ref_seq,
                 ref_start,
@@ -136,7 +149,9 @@ class CallingPipeline:
         pe.apply_reference_encoding(aff_counts, region_start)
         if neg_counts is not aff_counts:
             pe.apply_reference_encoding(neg_counts, region_start)
-        return pe, aff_counts, neg_counts, region_start, region_end
+        views = (pe, aff_counts, neg_counts, region_start, region_end)
+        self._views_memo = (chunk, views)
+        return views
 
     def _window(self, counts, center, region_start):
         i = center - region_start
@@ -168,6 +183,20 @@ class CallingPipeline:
             )
             if opt.genotyping_mode == "hybrid":
                 snv_pos = sorted(set(snv_pos) | set(requested))
+        if opt.bed_tree is not None and len(opt.bed_tree):
+            snv_pos = [
+                p for p in snv_pos
+                if opt.bed_tree.is_region_in(chunk.ctg_name, p, p + 1)
+            ]
+            indel_pos = [
+                p for p in indel_pos
+                if opt.bed_tree.is_region_in(chunk.ctg_name, p, p + 1)
+            ]
+        if opt.indel_bed_tree is not None and len(opt.indel_bed_tree):
+            indel_pos = [
+                p for p in indel_pos
+                if opt.indel_bed_tree.is_region_in(chunk.ctg_name, p, p + 1)
+            ]
         result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
 
         result.snv_rows = self._call_positions(
