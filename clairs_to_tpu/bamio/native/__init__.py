@@ -59,6 +59,20 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.entry_channel_counts.restype = None
+        lib.entry_channel_counts.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 9 + [
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.entry_candidate_prefilter.restype = None
+        lib.entry_candidate_prefilter.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 5 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e
@@ -67,6 +81,32 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+class LazyIseq:
+    """Insertion-sequence accessor over the packed blob — avoids building
+    millions of (mostly empty) Python strings at decode time."""
+
+    __slots__ = ("_blob", "_off", "_len", "_kind")
+
+    def __init__(self, blob, off, ilen, ikind):
+        self._blob = blob
+        self._off = off
+        self._len = ilen
+        self._kind = ikind
+
+    def __len__(self):
+        return len(self._off)
+
+    def __getitem__(self, i):
+        if self._kind[i] != 1 or self._off[i] < 0:
+            return ""
+        o = int(self._off[i])
+        return self._blob[o : o + int(self._len[i])].tobytes().decode("latin-1")
+
+    def __iter__(self):
+        for i in range(len(self._off)):
+            yield self[i]
 
 
 class BamStreamReader:
@@ -176,17 +216,12 @@ def _export_table(lib, h):
                 read_id.ctypes.data_as(ctypes.c_void_p),
                 eflags.ctypes.data_as(ctypes.c_void_p),
             )
-        blob_bytes = blob.tobytes().decode("latin-1")
-        iseq = [
-            blob_bytes[iseq_off[i] : iseq_off[i] + ilen[i]]
-            if ikind[i] == 1 and iseq_off[i] >= 0
-            else ""
-            for i in range(n)
-        ]
         return dict(
             pos=pos, code=code, bq=bq, mq=mq, hp=hp,
-            ikind=ikind, ilen=ilen, iseq=iseq,
+            ikind=ikind, ilen=ilen,
+            iseq=LazyIseq(blob, iseq_off, ilen, ikind),
             read_id=read_id, eflags=eflags,
+            iseq_off=iseq_off, iseq_blob=blob,
         )
     finally:
         lib.pileup_free(h)

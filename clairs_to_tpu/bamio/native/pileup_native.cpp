@@ -568,3 +568,143 @@ void pileup_export(void* h, int64_t* pos, int8_t* code, int16_t* bq,
 void pileup_free(void* h) { delete (EntryTable*)h; }
 
 }  // extern "C"
+
+// ===================================================================
+// Array-native reductions: single-pass channel counts + candidate
+// prefilter over an exported entry table.  These replace the
+// memory-bound multi-pass numpy reductions in pileup.py for the hot
+// path; the numpy implementations remain the behavioral reference
+// (cross-validated in tests/test_native.py).
+// ===================================================================
+
+extern "C" {
+
+// Tensor-view channel counts (create_tensor semantics; see pileup.py
+// channel_counts).  out: (L, nchan) int32 row-major; depth: (L,) int32.
+// nchan = 34 (+16 when with_phasing).  iseq blob/offsets carry insertion
+// sequences for the I1/i1 max-per-distinct-seq channels.
+void entry_channel_counts(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* hp, const int8_t* ikind,
+    const int32_t* ilen, const int64_t* iseq_off, const char* iseq_blob,
+    int min_bq, int64_t region_start, int64_t region_end,
+    int low_mq_thresh, int low_bq_thresh, int max_indel_len,
+    int with_phasing, int32_t* out, int32_t* depth) {
+  const int64_t L = region_end - region_start;
+  const int nchan = 34 + (with_phasing ? 16 : 0);
+  // channel indices (config.PILEUP_CHANNELS layout)
+  const int CH_I = 4, CH_I1 = 5, CH_D = 6, CH_D1 = 7, CH_STAR = 8;
+  const int CH_i = 13, CH_i1 = 14, CH_d = 15, CH_d1 = 16, CH_HASH = 17;
+  const int CH_ALMQ = 18, CH_aLMQ = 22, CH_ALBQ = 26, CH_aLBQ = 30;
+  // per-(pos,strand) distinct-insertion-seq max: small hash per call
+  std::unordered_map<uint64_t, std::unordered_map<std::string, int>> ins_groups;
+  std::unordered_map<uint64_t, std::unordered_map<int, int>> del_groups;
+  for (int64_t j = 0; j < n; j++) {
+    int64_t p = pos[j] - region_start;
+    if (p < 0 || p >= L) continue;
+    int8_t c = code[j];
+    if (c == 10) continue;          // CODE_SKIP
+    if (bq[j] < min_bq) continue;
+    bool hi_mq = mq[j] >= low_mq_thresh;
+    bool pure = ikind[j] == 0;
+    int32_t* row = out + p * nchan;
+    if (pure) {
+      if (hi_mq) {
+        int ch;
+        if (c < 4) ch = c;
+        else if (c < 8) ch = c + 5;
+        else ch = (c == 8) ? CH_STAR : CH_HASH;
+        row[ch] += 1;
+        depth[p] += 1;
+      } else if (c < 8) {
+        row[(c < 4 ? c + CH_ALMQ : c - 4 + CH_aLMQ)] += 1;
+      }
+      if (c < 8 && bq[j] < low_bq_thresh) {
+        row[(c < 4 ? c + CH_ALBQ : c - 4 + CH_aLBQ)] += 1;
+      }
+    } else if (hi_mq) {
+      // indel-suffix entry: counts only as indel evidence
+      bool is_ins = ikind[j] == 1;
+      int len = ilen[j];
+      bool ok = is_ins ? (len <= max_indel_len) : (len + 1 <= max_indel_len);
+      if (ok) {
+        bool fwd = (c < 4) || (c == 8);
+        depth[p] += 1;
+        if (is_ins) {
+          row[fwd ? CH_I : CH_i] += 1;
+          std::string seq(iseq_blob + iseq_off[j], (size_t)len);
+          for (auto& ch2 : seq) ch2 = toupper(ch2);
+          uint64_t key = ((uint64_t)p << 1) | (fwd ? 1 : 0);
+          ins_groups[key][seq] += 1;
+        } else {
+          row[fwd ? CH_D : CH_d] += 1;
+          uint64_t key = ((uint64_t)p << 1) | (fwd ? 1 : 0);
+          del_groups[key][len] += 1;
+        }
+      }
+      // LBQ counting skips indel-suffix entries (pure keys only)
+    }
+    if (with_phasing && c < 8 && (hp[j] == 1 || hp[j] == 2)) {
+      int base_off = 34 + (hp[j] == 2 ? 8 : 0);
+      row[base_off + (c % 8)] += 1;
+    }
+  }
+  for (auto& kv : ins_groups) {
+    int64_t p = kv.first >> 1;
+    bool fwd = kv.first & 1;
+    int best = 0;
+    for (auto& g : kv.second) best = std::max(best, g.second);
+    int32_t* row = out + p * nchan;
+    int ch = fwd ? CH_I1 : CH_i1;
+    row[ch] = std::max(row[ch], (int32_t)best);
+  }
+  for (auto& kv : del_groups) {
+    int64_t p = kv.first >> 1;
+    bool fwd = kv.first & 1;
+    int best = 0;
+    for (auto& g : kv.second) best = std::max(best, g.second);
+    int32_t* row = out + p * nchan;
+    int ch = fwd ? CH_D1 : CH_d1;
+    row[ch] = std::max(row[ch], (int32_t)best);
+  }
+}
+
+// Candidate-view prefilter (extract_candidates gating, superset-exact for
+// SNVs): writes cand_mask (L,) uint8 with bit1 = SNV-possible, bit2 =
+// indel-possible.  ref_codes: (L,) int8 (0-3 or -1 for non-ACGT).
+void entry_candidate_prefilter(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind,
+    int min_bq, int min_mq, int64_t region_start, int64_t region_end,
+    const int8_t* ref_codes, int min_coverage, double snv_af,
+    double indel_af, int support, int select_indels, uint8_t* cand_mask) {
+  const int64_t L = region_end - region_start;
+  std::vector<int32_t> base_counts((size_t)L * 4, 0);
+  std::vector<int32_t> depth(L, 0), ins_tot(L, 0), del_tot(L, 0);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t p = pos[j] - region_start;
+    if (p < 0 || p >= L) continue;
+    if (code[j] == 10 || bq[j] < min_bq || mq[j] < min_mq) continue;
+    depth[p] += 1;
+    if (code[j] < 8) base_counts[p * 4 + code[j] % 4] += 1;
+    if (ikind[j] == 1) ins_tot[p] += 1;
+    else if (ikind[j] == 2) del_tot[p] += 1;
+  }
+  for (int64_t p = 0; p < L; p++) {
+    cand_mask[p] = 0;
+    if (ref_codes[p] < 0 || depth[p] <= min_coverage) continue;
+    double denom = depth[p] > 0 ? depth[p] : 1;
+    for (int c = 0; c < 4; c++) {
+      if (c == ref_codes[p]) continue;
+      int cnt = base_counts[p * 4 + c];
+      if (cnt >= support && cnt / denom >= snv_af) { cand_mask[p] |= 1; break; }
+    }
+    if (select_indels) {
+      if ((ins_tot[p] >= support && ins_tot[p] / denom >= indel_af) ||
+          (del_tot[p] >= support && del_tot[p] / denom >= indel_af))
+        cand_mask[p] |= 2;
+    }
+  }
+}
+
+}  // extern "C"

@@ -107,6 +107,8 @@ class PileupEngine:
         self._n_reads = 0
         self._pending_mates: Dict[str, Dict[int, int]] = {}
         self._arrays = None
+        self._iseq_off = None    # int64 offsets into _iseq_blob (native path)
+        self._iseq_blob = None   # uint8 array of insertion sequences
 
     # ------------------------------------------------------------------
     @classmethod
@@ -130,6 +132,8 @@ class PileupEngine:
         eng._iseq = table["iseq"]
         eng._read_id = table.get("read_id", np.zeros(len(table["pos"]), np.int32))
         eng._eflags = table.get("eflags", np.zeros(len(table["pos"]), np.int8))
+        eng._iseq_off = table.get("iseq_off")
+        eng._iseq_blob = table.get("iseq_blob")
         return eng
 
     # ------------------------------------------------------------------
@@ -268,14 +272,67 @@ class PileupEngine:
         return ilen + 1 <= self.max_indel_length
 
     # ------------------------------------------------------------------
+    def _ensure_iseq_arrays(self):
+        """Build the iseq blob/offset arrays (native reduction inputs)."""
+        if self._iseq_blob is not None:
+            return
+        offs = np.full(len(self._iseq), -1, np.int64)
+        parts = []
+        total = 0
+        for i, s in enumerate(self._iseq):
+            if s:
+                offs[i] = total
+                b = s.encode("latin-1")
+                parts.append(b)
+                total += len(b)
+        self._iseq_off = offs
+        self._iseq_blob = np.frombuffer(b"".join(parts), dtype=np.uint8).copy() \
+            if parts else np.zeros(0, np.uint8)
+
+    def _native_lib(self):
+        from clairs_to_tpu.bamio import native
+
+        return native.get_lib() if native.available() else None
+
     def channel_counts(self, min_bq: int, region_start: int, region_end: int,
                        with_phasing: bool = False):
         """Tensor-view counts: (L, 34[+16]) int32 + (L,) depth.
 
         Ref-channel negation is NOT applied here (see apply_reference_encoding)
-        because candidate alt_info needs the raw counts first.
+        because candidate alt_info needs the raw counts first.  Dispatches to
+        the single-pass C++ reduction when available; the numpy path below is
+        the behavioral reference.
         """
         a = self._finalize()
+        lib = self._native_lib()
+        if lib is not None and len(a["pos"]):
+            import ctypes
+
+            self._ensure_iseq_arrays()
+            L = region_end - region_start
+            nchan = cfg.PILEUP_CHANNEL_SIZE + (16 if with_phasing else 0)
+            out = np.zeros((L, nchan), dtype=np.int32)
+            depth = np.zeros(L, dtype=np.int32)
+
+            def ptr(arr):
+                return arr.ctypes.data_as(ctypes.c_void_p)
+
+            lib.entry_channel_counts(
+                len(a["pos"]), ptr(a["pos"]), ptr(a["code"]), ptr(a["bq"]),
+                ptr(a["mq"]), ptr(a["hp"]), ptr(a["ikind"]), ptr(a["ilen"]),
+                ptr(self._iseq_off), ptr(self._iseq_blob),
+                int(min_bq), int(region_start), int(region_end),
+                int(cfg.LOW_MQ_THRESHOLD),
+                int(cfg.LOW_BQ_THRESHOLD.get(self.platform, 10)),
+                int(self.max_indel_length), 1 if with_phasing else 0,
+                ptr(out), ptr(depth),
+            )
+            return out, depth
+        return self._channel_counts_np(a, min_bq, region_start, region_end,
+                                       with_phasing)
+
+    def _channel_counts_np(self, a, min_bq, region_start, region_end,
+                           with_phasing):
         L = region_end - region_start
         nchan = cfg.PILEUP_CHANNEL_SIZE + (16 if with_phasing else 0)
         out = np.zeros((L, nchan), dtype=np.int32)
@@ -303,19 +360,20 @@ class PileupEngine:
             np.where(code[m] < 8, code[m] + 5,
                      np.where(code[m] == CODE_DEL_FWD, _CH["*"], _CH["#"])),
         )
-        np.add.at(out, (pos[m], ch), 1)
-        np.add.at(depth, pos[m], 1)
+        flat = np.bincount(pos[m] * nchan + ch, minlength=L * nchan)
+        out += flat.reshape(L, nchan).astype(np.int32)
+        depth += np.bincount(pos[m], minlength=L).astype(np.int32)
 
         # LMQ channels: pure base entries with mq<20
         m = ~hi & pure & (code < 8)
         ch = np.where(code[m] < 4, code[m] + _CH["ALMQ"], code[m] - 4 + _CH["aLMQ"])
-        np.add.at(out, (pos[m], ch), 1)
+        out += np.bincount(pos[m] * nchan + ch, minlength=L * nchan).reshape(L, nchan).astype(np.int32)
 
         # LBQ channels: pure base entries with low bq (any mq)
         lbq_thresh = cfg.LOW_BQ_THRESHOLD.get(self.platform, 10)
         m = pure & (code < 8) & (bq < lbq_thresh)
         ch = np.where(code[m] < 4, code[m] + _CH["ALBQ"], code[m] - 4 + _CH["aLBQ"])
-        np.add.at(out, (pos[m], ch), 1)
+        out += np.bincount(pos[m] * nchan + ch, minlength=L * nchan).reshape(L, nchan).astype(np.int32)
 
         if with_phasing:
             base_off = nchan - 16
@@ -484,17 +542,100 @@ class PileupEngine:
         if min_bq is None:
             min_bq = cfg.MIN_BQ_DICT.get(self.platform, 0)
         a = self._finalize()
-        sel = (
-            (a["pos"] >= region_start)
-            & (a["pos"] < region_end)
-            & (a["mq"] >= cfg.MIN_MQ)
+        if len(a["pos"]) == 0:
+            return [], [], {}
+
+        # ---- vectorized superset prefilter -------------------------------
+        # Exact per-position gating below is Python; at genome scale it must
+        # only ever see positions that can possibly pass.  Necessary
+        # conditions, all array ops: depth > min_coverage AND (some non-ref
+        # base count >= max(support, af*depth) OR total ins/del count does).
+        L = region_end - region_start
+        ref_codes = np.full(L, -1, dtype=np.int8)
+        lo = region_start - self.ref_start
+        ref_slice = self.ref_seq[max(lo, 0) : lo + L]
+        arr = np.frombuffer(ref_slice.encode(), dtype=np.uint8)
+        pad = L - len(arr)
+        if lo < 0 or pad > 0:
+            full = np.full(L, ord("N"), dtype=np.uint8)
+            off = max(-lo, 0)
+            full[off : off + len(arr)] = arr
+            arr = full
+        for b, c in ((ord("A"), 0), (ord("C"), 1), (ord("G"), 2), (ord("T"), 3)):
+            ref_codes[arr == b] = c
+
+        support = alternative_base_num
+        lib = self._native_lib()
+        if lib is not None and len(a["pos"]):
+            import ctypes
+
+            mask8 = np.zeros(L, dtype=np.uint8)
+
+            def ptr(x):
+                return x.ctypes.data_as(ctypes.c_void_p)
+
+            lib.entry_candidate_prefilter(
+                len(a["pos"]), ptr(a["pos"]), ptr(a["code"]), ptr(a["bq"]),
+                ptr(a["mq"]), ptr(a["ikind"]),
+                int(min_bq), int(cfg.MIN_MQ), int(region_start), int(region_end),
+                ptr(ref_codes), int(min_coverage), float(snv_min_af),
+                float(indel_min_af), int(support),
+                1 if select_indel_candidates else 0, ptr(mask8),
+            )
+            cand_mask = mask8 > 0
+        else:
+            sel = (
+                (a["pos"] >= region_start)
+                & (a["pos"] < region_end)
+                & (a["mq"] >= cfg.MIN_MQ)
+                & (a["bq"] >= min_bq)
+                & (a["code"] != CODE_SKIP)
+            )
+            idx_all = np.nonzero(sel)[0]
+            pos_rel = (a["pos"][idx_all] - region_start).astype(np.int64)
+            code = a["code"][idx_all]
+            ikind_arr = a["ikind"][idx_all]
+            base_m = code < 8
+            base_counts = np.bincount(
+                pos_rel[base_m] * 4 + code[base_m] % 4, minlength=L * 4
+            ).reshape(L, 4).astype(np.int32)
+            depth_arr = np.bincount(pos_rel, minlength=L).astype(np.int32)
+            ins_tot = np.bincount(
+                pos_rel[ikind_arr == INDEL_INS], minlength=L
+            ).astype(np.int32)
+            del_tot = np.bincount(
+                pos_rel[ikind_arr == INDEL_DEL], minlength=L
+            ).astype(np.int32)
+            denom = np.maximum(depth_arr, 1)
+            alt_mask = np.zeros(L, dtype=bool)
+            for c in range(4):
+                cnt = base_counts[:, c]
+                ok = (ref_codes != c) & (cnt >= support) & (cnt / denom >= snv_min_af)
+                alt_mask |= ok
+            if select_indel_candidates:
+                for tot in (ins_tot, del_tot):
+                    alt_mask |= (tot >= support) & (tot / denom >= indel_min_af)
+            cand_mask = alt_mask & (depth_arr > min_coverage) & (ref_codes >= 0)
+        prefilter = np.nonzero(cand_mask)[0] + region_start
+        if len(prefilter) == 0:
+            return [], [], {}
+
+        # ---- exact gating at prefiltered positions ------------------------
+        # single pass over the table: one searchsorted into the (few)
+        # prefiltered positions, then per-entry view filters on the hits only
+        pf = np.asarray(prefilter, dtype=np.int64)
+        pp = np.searchsorted(pf, a["pos"])
+        hit = (pp < len(pf)) & (pf[np.minimum(pp, len(pf) - 1)] == a["pos"])
+        hit &= (
+            (a["mq"] >= cfg.MIN_MQ)
             & (a["bq"] >= min_bq)
             & (a["code"] != CODE_SKIP)
         )
-        idx_all = np.nonzero(sel)[0]
-        # group by position
+        hit_idx = np.nonzero(hit)[0]
+        order = np.argsort(a["pos"][hit_idx], kind="stable")
+        hit_idx = hit_idx[order]
         per_pos = defaultdict(list)
-        for j in idx_all:
+        for j in hit_idx:
             per_pos[int(a["pos"][j])].append(int(j))
 
         snv_pos, indel_pos = [], []

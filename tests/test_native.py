@@ -66,6 +66,36 @@ def test_candidates_match(dataset):
     assert alt_a == alt_b
 
 
+@pytest.mark.parametrize("min_bq,phasing", [(0, False), (20, False), (0, True)])
+def test_cpp_reduction_matches_numpy(dataset, min_bq, phasing):
+    """entry_channel_counts (C++) vs the numpy reference reduction."""
+    eng = _native_engine(dataset, 0, 30_000)
+    a = eng._finalize()
+    cpp, cpp_depth = eng.channel_counts(min_bq, 0, 30_000, with_phasing=phasing)
+    ref, ref_depth = eng._channel_counts_np(a, min_bq, 0, 30_000, phasing)
+    np.testing.assert_array_equal(cpp, ref)
+    np.testing.assert_array_equal(cpp_depth, ref_depth)
+
+
+def test_cpp_prefilter_matches_numpy(dataset):
+    """entry_candidate_prefilter (C++) vs the numpy superset prefilter:
+    identical final candidate sets through find_candidates."""
+    from clairs_to_tpu.bamio import pileup as pileup_mod
+
+    eng = _native_engine(dataset, 0, 30_000)
+    s_native, i_native, _ = eng.find_candidates(0, 30_000, select_indel_candidates=True)
+    # force the numpy branch
+    orig = pileup_mod.PileupEngine._native_lib
+    try:
+        pileup_mod.PileupEngine._native_lib = lambda self: None
+        eng2 = _native_engine(dataset, 0, 30_000)
+        s_np, i_np, _ = eng2.find_candidates(0, 30_000, select_indel_candidates=True)
+    finally:
+        pileup_mod.PileupEngine._native_lib = orig
+    assert s_native == s_np
+    assert i_native == i_np
+
+
 def test_region_subset(dataset):
     """Native region loading must include reads overlapping the boundary."""
     py = _python_engine(dataset, 10_000, 20_000)
