@@ -9,13 +9,25 @@ from clairs_to_tpu.ops import posterior as post
 from clairs_to_tpu.infer import engine as eng_mod
 from clairs_to_tpu.infer.engine import InferenceEngine, recover_strand_counts, make_mesh
 
+# engine mechanics (padding, chunking, sharding, rescale) are independent of
+# model size; tiny configs keep CPU jit compiles to seconds
+TINY_CVT = cvt.CvTConfig(emb_dims=(8, 16, 32), heads=(1, 1, 2), depths=(1, 1, 1))
+TINY_GRU = bigru.BiGRUConfig(hidden1=16, hidden2=24)
+
+
+def _mk_engine(**kw):
+    aff = cvt.init(jax.random.PRNGKey(0), TINY_CVT)
+    neg = bigru.init(jax.random.PRNGKey(1), TINY_GRU)
+    lik = post.uniform_likelihood_data(4)
+    return InferenceEngine(
+        aff, neg, lik, mode="snv", device_batch=64,
+        cvt_config=TINY_CVT, bigru_config=TINY_GRU, **kw
+    )
+
 
 @pytest.fixture(scope="module")
 def engine():
-    aff = cvt.init(jax.random.PRNGKey(0))
-    neg = bigru.init(jax.random.PRNGKey(1))
-    lik = post.uniform_likelihood_data(4)
-    return InferenceEngine(aff, neg, lik, mode="snv", device_batch=64)
+    return _mk_engine()
 
 
 def _batch(n, seed=0):
@@ -79,12 +91,9 @@ def test_recover_strand_counts():
 
 def test_mesh_sharded_engine_matches_unsharded():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
-    aff = cvt.init(jax.random.PRNGKey(0))
-    neg = bigru.init(jax.random.PRNGKey(1))
-    lik = post.uniform_likelihood_data(4)
     mesh = make_mesh()
-    sharded = InferenceEngine(aff, neg, lik, mode="snv", device_batch=64, mesh=mesh)
-    plain = InferenceEngine(aff, neg, lik, mode="snv", device_batch=64)
+    sharded = _mk_engine(mesh=mesh)
+    plain = _mk_engine()
     x, cov = _batch(64, seed=3)
     r_s = sharded.run_batch(x, x, cov, cov)
     r_p = plain.run_batch(x, x, cov, cov)
