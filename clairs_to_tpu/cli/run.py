@@ -449,6 +449,9 @@ def main(argv=None):
     if not args.disable_verdict:
         _run_verdict_stage(args, pipe, chunks, snv_final)
 
+    from clairs_to_tpu.vcf.tabix import write_tabix_vcf
+
+    write_tabix_vcf(snv_final)  # snv.vcf.gz + .tbi (final output contract)
     print(f"[INFO] SNV output: {snv_final}")
     if call_indels:
         indel_merged = os.path.join(vcf_out, "indel_pileup.vcf")
@@ -458,6 +461,7 @@ def main(argv=None):
             indel_merged, indel_final, platform=args.platform, ref_fn=args.ref_fn,
             sample_name=args.sample_name, qual=args.qual_indel, is_indel=True,
         )
+        write_tabix_vcf(indel_final)
         print(f"[INFO] Indel output: {indel_final}")
     print(f"[INFO] {n_cand} candidates, total time {time.time() - t0:.1f}s")
     return 0

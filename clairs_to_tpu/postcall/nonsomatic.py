@@ -15,6 +15,14 @@ import os
 from collections import defaultdict
 
 
+def _file_md5(path):
+    md5 = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            md5.update(chunk)
+    return md5.hexdigest()
+
+
 def _open_stream(path, md5_obj=None):
     raw = open(path, "rb")
     data = raw  # md5 over the compressed file bytes
@@ -106,12 +114,17 @@ def tag_nonsomatic_file(
         pos_keys[(ctg, pos)].add(i)
         allele_keys[(ctg, pos, cols[3], cols[4])].add(i)
 
+    input_ctgs = sorted({ctg for (ctg, _p) in pos_keys})
+    pos_by_ctg = defaultdict(list)
+    for (ctg, p) in pos_keys:
+        pos_by_ctg[ctg].append(p)
+
     hits_per_pon = [set() for _ in pon_paths]
     md5s = []
     for k, pon in enumerate(pon_paths):
-        md5_obj = None if skip_md5 else hashlib.md5()
         require = require_allele_matching[k]
-        for ctg, pos, ref, alt_field in iter_pon_records(pon, md5_obj):
+
+        def apply_one(ctg, pos, ref, alt_field):
             if require:
                 for alt in alt_field.split(","):
                     key = (ctg, pos, ref, alt)
@@ -121,6 +134,33 @@ def tag_nonsomatic_file(
                 key = (ctg, pos)
                 if key in pos_keys:
                     hits_per_pon[k] |= pos_keys[key]
+
+        use_tabix = os.path.exists(pon + ".tbi")
+        if use_tabix:
+            # tabix fast path (nonsomatic_tagging.py:280-307): fetch only the
+            # windows around input calls per contig
+            from clairs_to_tpu.vcf.tabix import TabixReader
+
+            try:
+                rd = TabixReader(pon)
+                for ctg in input_ctgs:
+                    if ctg not in rd.name_id:
+                        continue
+                    positions = sorted(pos_by_ctg[ctg])
+                    lo, hi = positions[0] - 1, positions[-1] + 1
+                    for line in rd.fetch(ctg, max(lo - 1, 0), hi):
+                        cols = line.split("\t", 5)
+                        if len(cols) >= 5:
+                            apply_one(cols[0], int(cols[1]), cols[3], cols[4])
+                md5s.append(
+                    "skipped" if skip_md5 else _file_md5(pon)
+                )
+                continue
+            except Exception:
+                pass  # fall back to full stream
+        md5_obj = None if skip_md5 else hashlib.md5()
+        for ctg, pos, ref, alt_field in iter_pon_records(pon, md5_obj):
+            apply_one(ctg, pos, ref, alt_field)
         md5s.append("skipped" if skip_md5 else md5_obj.hexdigest())
 
     tagged = set().union(*hits_per_pon) if hits_per_pon else set()

@@ -143,8 +143,7 @@ def postprocess_vcf(
     writer.close()
 
     if compress_vcf:
-        with open(output_fn, "rb") as f:
-            data = f.read()
-        with open(output_fn + ".gz", "wb") as f:
-            f.write(bgzf_compress(data))
+        from clairs_to_tpu.vcf.tabix import write_tabix_vcf
+
+        write_tabix_vcf(output_fn)  # .gz + .tbi alongside
     return {"af_filtered": af_filter_count}

@@ -63,6 +63,24 @@ def test_pon_position_matching_gzip(tmp_path):
     assert "NonSomatic" in body[200]
 
 
+def test_pon_tabix_fast_path(tmp_path):
+    from clairs_to_tpu.vcf.tabix import write_tabix_vcf
+
+    vcf = write_calls(str(tmp_path / "in.vcf"), [_row(100), _row(200, alt="G"), _row(90000)])
+    pon_plain = write_pon(
+        str(tmp_path / "pon.vcf"),
+        [("chr1", 100, "A", "C"), ("chr1", 90000, "A", "C"), ("chr1", 500, "A", "T")],
+    )
+    pon_gz, tbi = write_tabix_vcf(pon_plain)
+    out = str(tmp_path / "out.vcf")
+    summary = tag_nonsomatic_file(vcf, out, [pon_gz], require_allele_matching=[True])
+    assert summary["tagged"] == 2
+    body = {int(l.split("\t")[1]): l for l in open(out) if not l.startswith("#")}
+    assert "NonSomatic" in body[100]
+    assert "NonSomatic" in body[90000]
+    assert "\tPASS\t" in body[200]
+
+
 def test_pon_multiple_pons_flags(tmp_path):
     vcf = write_calls(str(tmp_path / "in.vcf"), [_row(100)])
     pon1 = write_pon(str(tmp_path / "p1.vcf"), [("chr1", 100, "A", "C")])
