@@ -114,31 +114,96 @@ def _reg2bin(beg, end):
     return 0
 
 
-def write_bam(path, references, lengths, records, header_text=None):
-    """Write a BAM file.
+def write_bam(path, references, lengths, records, header_text=None,
+              write_index=True):
+    """Write a BAM file (+ .bai index by default).
 
     records: iterable of encoded record bytes (see encode_record) — must be
-    coordinate-sorted by the caller for downstream region access.
+    coordinate-sorted by the caller for region access to work.
     """
+    from clairs_to_tpu.vcf.tabix import BgzfWriter
+
     if header_text is None:
         header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{r}\tLN:{l}\n" for r, l in zip(references, lengths)
         )
     htext = header_text.encode()
-    out = bytearray()
-    out += BAM_MAGIC
-    out += struct.pack("<i", len(htext))
-    out += htext
-    out += struct.pack("<i", len(references))
+    head = bytearray()
+    head += BAM_MAGIC
+    head += struct.pack("<i", len(htext))
+    head += htext
+    head += struct.pack("<i", len(references))
     for r, l in zip(references, lengths):
-        out += struct.pack("<i", len(r) + 1)
-        out += r.encode() + b"\x00"
-        out += struct.pack("<i", l)
-    for rec in records:
-        out += rec
+        head += struct.pack("<i", len(r) + 1)
+        head += r.encode() + b"\x00"
+        head += struct.pack("<i", l)
+
+    index_entries = []  # (ref_id, beg0, end0, voff_beg, voff_end)
     with open(path, "wb") as f:
-        f.write(bgzf_compress(bytes(out)))
+        bw = BgzfWriter(f)
+        bw.write(bytes(head))
+        for rec in records:
+            voff_beg = bw.tell_virtual
+            bw.write(rec)
+            voff_end = bw.tell_virtual
+            if write_index:
+                ref_id, pos = struct.unpack_from("<ii", rec, 4)
+                n_cigar = struct.unpack_from("<H", rec, 16)[0]
+                l_read_name = rec[12]
+                span = 0
+                for k in range(n_cigar):
+                    c = struct.unpack_from("<I", rec, 36 + l_read_name + 4 * k)[0]
+                    if CIGAR_OPS[c & 0xF] in "MDN=X":
+                        span += c >> 4
+                index_entries.append(
+                    (ref_id, pos, pos + max(span, 1), voff_beg, voff_end)
+                )
+        bw.close()
+    if write_index:
+        write_bai(path + ".bai", len(references), index_entries)
     return path
+
+
+def write_bai(bai_path, n_ref, entries):
+    """Write a BAI index from (ref_id, beg0, end0, voff_beg, voff_end) rows."""
+    from collections import defaultdict
+
+    from clairs_to_tpu.vcf.tabix import _reg2bin
+
+    bins = defaultdict(lambda: defaultdict(list))
+    linear = defaultdict(dict)
+    for (rid, beg, end, u, v) in entries:
+        if rid < 0:
+            continue
+        b = _reg2bin(beg, end)
+        blist = bins[rid][b]
+        if blist and blist[-1][1] == u:
+            blist[-1] = (blist[-1][0], v)
+        else:
+            blist.append((u, v))
+        for win in range(beg >> 14, ((end - 1) >> 14) + 1):
+            if win not in linear[rid]:
+                linear[rid][win] = u
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for rid in range(n_ref):
+        rbins = bins.get(rid, {})
+        out += struct.pack("<i", len(rbins))
+        for b, chunks in sorted(rbins.items()):
+            out += struct.pack("<Ii", b, len(chunks))
+            for (u, v) in chunks:
+                out += struct.pack("<QQ", u, v)
+        lin = linear.get(rid, {})
+        n_win = (max(lin) + 1) if lin else 0
+        out += struct.pack("<i", n_win)
+        prev = 0
+        for w in range(n_win):
+            if w in lin:
+                prev = lin[w]
+            out += struct.pack("<Q", prev)
+    with open(bai_path, "wb") as f:
+        f.write(bytes(out))
+    return bai_path
 
 
 def encode_tag_str(tag: str, value: str) -> bytes:

@@ -19,6 +19,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o libpileup_native.so \
 //            pileup_native.cpp -lz
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -136,10 +137,89 @@ class BgzfReader {
     return ret == Z_STREAM_END;
   }
 
+ public:
+  // Seek to a BGZF virtual offset (coffset<<16 | uoffset).
+  bool seek_virtual(uint64_t voff) {
+    if (!fp_) return false;
+    if (fseek(fp_, (long)(voff >> 16), SEEK_SET) != 0) return false;
+    buf_.clear();
+    buf_pos_ = 0;
+    size_t skip = voff & 0xFFFF;
+    if (skip) {
+      std::vector<uint8_t> tmp(skip);
+      return read(tmp.data(), skip);
+    }
+    return true;
+  }
+
+ private:
   FILE* fp_;
   std::vector<uint8_t> buf_;
   size_t buf_pos_ = 0;
 };
+
+// ------------------------------------------------------------------ BAI ---
+// Minimal BAI reader: returns the lowest virtual offset of any chunk whose
+// bin overlaps [start, end) on ref rid, or UINT64_MAX when absent.
+uint64_t bai_min_voffset(const char* bai_path, int rid, int64_t start,
+                         int64_t end) {
+  FILE* f = fopen(bai_path, "rb");
+  if (!f) return UINT64_MAX;
+  auto rd_i32 = [&](int32_t* v) { return fread(v, 4, 1, f) == 1; };
+  char magic[4];
+  if (fread(magic, 1, 4, f) != 4 || memcmp(magic, "BAI\1", 4) != 0) {
+    fclose(f);
+    return UINT64_MAX;
+  }
+  int32_t n_ref;
+  if (!rd_i32(&n_ref) || rid >= n_ref) { fclose(f); return UINT64_MAX; }
+  // target bins for the query
+  std::vector<uint32_t> want;
+  {
+    int64_t b = start, e = end - 1;
+    want.push_back(0);
+    int shifts[5] = {26, 23, 20, 17, 14};
+    int offs[5] = {1, 9, 73, 585, 4681};
+    for (int k = 0; k < 5; k++)
+      for (int64_t x = offs[k] + (b >> shifts[k]); x <= offs[k] + (e >> shifts[k]); x++)
+        want.push_back((uint32_t)x);
+  }
+  std::sort(want.begin(), want.end());
+  uint64_t best = UINT64_MAX;
+  uint64_t lin_min = 0;
+  for (int r = 0; r < n_ref; r++) {
+    int32_t n_bin;
+    if (!rd_i32(&n_bin)) break;
+    for (int b = 0; b < n_bin; b++) {
+      uint32_t binv;
+      int32_t n_chunk;
+      if (fread(&binv, 4, 1, f) != 1 || !rd_i32(&n_chunk)) { fclose(f); return best; }
+      bool wanted = r == rid &&
+                    std::binary_search(want.begin(), want.end(), binv);
+      for (int c = 0; c < n_chunk; c++) {
+        uint64_t u, v;
+        if (fread(&u, 8, 1, f) != 1 || fread(&v, 8, 1, f) != 1) { fclose(f); return best; }
+        if (wanted) best = std::min(best, u);
+      }
+    }
+    int32_t n_intv;
+    if (!rd_i32(&n_intv)) break;
+    std::vector<uint64_t> intv(n_intv);
+    if (n_intv && fread(intv.data(), 8, n_intv, f) != (size_t)n_intv) break;
+    if (r == rid && n_intv) {
+      int64_t w = start >> 14;
+      if (w < n_intv) lin_min = intv[w];
+    }
+    if (r == rid && best != UINT64_MAX) {
+      // linear index refines the start: skip chunks entirely below it
+      if (lin_min > best) best = lin_min;
+      fclose(f);
+      return best;
+    }
+  }
+  fclose(f);
+  return best;
+}
 
 // --------------------------------------------------------------- decoder ---
 struct OverlapSpan {
@@ -485,6 +565,14 @@ void* pileup_load(const char* bam_path, const char* ctg, int64_t start,
   }
   if (ctg && target_rid < 0) return nullptr;
 
+  // BAI random access: seek straight to the first chunk for the region
+  bool used_index = false;
+  if (ctg && target_rid >= 0) {
+    std::string bai = std::string(bam_path) + ".bai";
+    uint64_t voff = bai_min_voffset(bai.c_str(), target_rid, start, end);
+    if (voff != UINT64_MAX) used_index = r.seek_virtual(voff);
+  }
+
   auto* table = new EntryTable();
   Decoder dec(table, handle_overlaps != 0);
   std::vector<uint8_t> rec;
@@ -508,7 +596,11 @@ void* pileup_load(const char* bam_path, const char* ctg, int64_t start,
     if (flag & excl_flags) continue;
     if (mapq < min_mapq) continue;
     if (target_rid >= 0 && ref_id != target_rid) continue;
-    if (pos >= end) continue;  // sorted BAMs could break; stay safe for unsorted
+    if (target_rid >= 0 && ref_id > target_rid) break;  // sorted: past contig
+    if (pos >= end && ref_id == target_rid) {
+      if (used_index) break;  // index implies coordinate order
+      continue;
+    }
     const char* name = (const char*)rec.data() + 32;
     const uint32_t* cigar = (const uint32_t*)(rec.data() + 32 + l_read_name);
     const uint8_t* seq4 = rec.data() + 32 + l_read_name + 4 * n_cigar;

@@ -96,6 +96,22 @@ def test_cpp_prefilter_matches_numpy(dataset):
     assert i_native == i_np
 
 
+def test_bai_random_access_matches_linear(dataset, tmp_path):
+    """Region load through the .bai index == index-less linear scan."""
+    import os
+    import shutil
+
+    bam = dataset["bam"]
+    assert os.path.exists(bam + ".bai")
+    t_idx = native.load_entry_table(bam, dataset["ctg"], 20_000, 25_000)
+    noidx = str(tmp_path / "noidx.bam")
+    shutil.copy(bam, noidx)
+    t_lin = native.load_entry_table(noidx, dataset["ctg"], 20_000, 25_000)
+    assert len(t_idx["pos"]) == len(t_lin["pos"])
+    np.testing.assert_array_equal(np.sort(t_idx["pos"]), np.sort(t_lin["pos"]))
+    np.testing.assert_array_equal(np.sort(t_idx["bq"]), np.sort(t_lin["bq"]))
+
+
 def test_region_subset(dataset):
     """Native region loading must include reads overlapping the boundary."""
     py = _python_engine(dataset, 10_000, 20_000)
