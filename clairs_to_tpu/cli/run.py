@@ -78,6 +78,10 @@ def build_parser():
     adv.add_argument("--device_batch", type=int, default=cfg.TPU_DEVICE_BATCH)
     adv.add_argument("--dry_run", action="store_true")
     adv.add_argument("--remove_intermediate_dir", action="store_true")
+    adv.add_argument("--resume", action="store_true",
+                     help="Skip chunks whose per-chunk VCFs already exist under "
+                          "<output_dir>/tmp (the in-process analog of the "
+                          "reference's --skip_steps resume).")
 
     compat = p.add_argument_group("Compatibility (accepted, unused)")
     for flag in ("--samtools", "--pypy", "--python", "--parallel", "--whatshap",
@@ -381,6 +385,17 @@ def main(argv=None):
     snv_paths, indel_paths = [], []
     n_cand = 0
     for ch in chunks:
+        sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
+        ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
+        if args.resume and os.path.exists(sp_path) and (
+            not call_indels or os.path.exists(ip_path)
+        ):
+            snv_paths.append(sp_path)
+            if call_indels:
+                indel_paths.append(ip_path)
+            print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
+                  f"resumed from existing output")
+            continue
         res = pipe.call_chunk(ch)
         n_cand += res.n_candidates
 

@@ -201,8 +201,11 @@ class InferenceEngine:
         probs_aff, probs_neg = self._forward(
             self.aff_params, self.neg_params, xa, xn, ca, cn
         )
-        p_aff = np.asarray(probs_aff)[:n, :, 1]
-        p_neg = np.asarray(probs_neg)[:n, :, 1]
+        # the reference round-trips probabilities through '%.8f' text between
+        # predict and call_variants (predict.py:121-132); match that rounding
+        # so the float64 posterior sees identical inputs
+        p_aff = np.round(np.asarray(probs_aff, np.float64)[:n, :, 1], 8)
+        p_neg = np.round(np.asarray(probs_neg, np.float64)[:n, :, 1], 8)
         posterior = post.posterior_probs_np(p_aff, p_neg, self.likelihood)
         fwd, rev = recover_strand_counts(np.asarray(x_aff)[:, cfg.FLANKING_BASE_NUM, :])
         return BatchResult(
