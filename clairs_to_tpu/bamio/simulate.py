@@ -166,6 +166,58 @@ def write_truth_vcf(path, ctg, variants, somatic_only=True, kinds=None):
     return path
 
 
+def make_multi_contig_dataset(out_dir, n_contigs=2, seed=0, **kw):
+    """Multi-contig dataset: one BAM/FASTA/truth covering n_contigs."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    genome_len = kw.pop("genome_len", 40_000)
+    names = [f"chr{i + 1}" for i in range(n_contigs)]
+    genomes = {}
+    all_variants = {}
+    all_records = []
+    rng_master = np.random.default_rng(seed)
+    for i, ctg in enumerate(names):
+        rng = np.random.default_rng(seed * 1000 + i)
+        genome = random_genome(rng, genome_len)
+        variants = plan_variants(
+            rng, genome,
+            n_snv=kw.get("n_snv", 10), n_indel=kw.get("n_indel", 0),
+            n_germline=kw.get("n_germline", 5),
+            af_choices=kw.get("af_choices", (0.1, 0.15, 0.2, 0.3)),
+            margin=max(200, kw.get("read_length", 500)),
+        )
+        reads = simulate_reads(
+            rng, genome, variants,
+            coverage=kw.get("coverage", 50),
+            read_length=kw.get("read_length", 500),
+            error_rate=kw.get("error_rate", 0.002),
+            base_qual=kw.get("base_qual", 30),
+        )
+        genomes[ctg] = genome
+        all_variants[ctg] = variants
+        for (name, flag, pos, cigar, seq, qual) in reads:
+            all_records.append(
+                bam_writer.encode_record(f"{ctg}_{name}", flag, i, pos, 60,
+                                         cigar, seq, qual)
+            )
+    fasta_path = os.path.join(out_dir, "ref.fa")
+    write_fasta(fasta_path, genomes)
+    bam_path = os.path.join(out_dir, "tumor.bam")
+    bam_writer.write_bam(bam_path, names, [genome_len] * n_contigs, all_records)
+    truth_path = os.path.join(out_dir, "truth.vcf")
+    with open(truth_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+        for ctg in names:
+            for v in all_variants[ctg]:
+                if v.germline:
+                    continue
+                gt = "0/1" if v.af < 0.95 else "1/1"
+                f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\tGT:AF\t{gt}:{v.af:.3f}\n")
+    return dict(fasta=fasta_path, bam=bam_path, truth=truth_path,
+                genomes=genomes, variants=all_variants, ctgs=names)
+
+
 def make_dataset(
     out_dir,
     seed=0,
