@@ -82,6 +82,8 @@ def build_parser():
                      help="Skip chunks whose per-chunk VCFs already exist under "
                           "<output_dir>/tmp (the in-process analog of the "
                           "reference's --skip_steps resume).")
+    adv.add_argument("--trace_dir", default=None,
+                     help="Write a JAX profiler trace of the device loop here.")
 
     compat = p.add_argument_group("Compatibility (accepted, unused)")
     for flag in ("--samtools", "--pypy", "--python", "--parallel", "--whatshap",
@@ -289,18 +291,39 @@ def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    return _main_impl(args)
+
+
+def _main_impl(args):
     t0 = time.time()
 
+    os.makedirs(args.output_dir, exist_ok=True)
+    tmp_dir = os.path.join(args.output_dir, "tmp")
+    vcf_out = os.path.join(tmp_dir, "vcf_output")
+    os.makedirs(vcf_out, exist_ok=True)
+
+    from clairs_to_tpu.utils.metrics import RunMetrics, Tee, device_trace
+
+    metrics = RunMetrics()
+    tee = Tee(os.path.join(args.output_dir, "run_clairs_to_tpu.log"))
+    _stdout = sys.stdout
+    sys.stdout = tee
+    try:
+        return _pipeline_body(args, metrics, t0, tee)
+    finally:
+        sys.stdout = _stdout
+        tee.close()
+
+
+def _pipeline_body(args, metrics, t0, tee):
     from clairs_to_tpu.genome.chunks import plan_chunks
     from clairs_to_tpu.genome.fasta import FastaFile
     from clairs_to_tpu.infer.pipeline import CallingPipeline, PipelineOptions
     from clairs_to_tpu.vcf.sort import merge_vcf_files
     from clairs_to_tpu.vcf.writer import VcfWriter
 
-    os.makedirs(args.output_dir, exist_ok=True)
     tmp_dir = os.path.join(args.output_dir, "tmp")
     vcf_out = os.path.join(tmp_dir, "vcf_output")
-    os.makedirs(vcf_out, exist_ok=True)
 
     fasta = FastaFile(args.ref_fn)
     ctg_names = args.ctg_name.split(",") if args.ctg_name else None
@@ -382,8 +405,14 @@ def main(argv=None):
         fasta, args.tumor_bam_fn, snv_engine, indel_engine, options
     )
 
+    from clairs_to_tpu.utils.metrics import device_trace
+
     snv_paths, indel_paths = [], []
     n_cand = 0
+    _calling_stage = metrics.stage("calling")
+    _calling_stage.__enter__()
+    _trace = device_trace(args.trace_dir)
+    _trace.__enter__()
     for ch in chunks:
         sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
         ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
@@ -421,19 +450,27 @@ def main(argv=None):
                 w.write_row(**row)
             w.close()
             indel_paths.append(ip)
+        metrics.count("candidates", res.n_candidates)
+        metrics.count("snv_rows", len(res.snv_rows))
+        metrics.count("indel_rows", len(res.indel_rows))
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
+    _trace.__exit__(None, None, None)
+    _calling_stage.__exit__(None, None, None)
 
     # --- merge + postcall (sort_vcf -> PoN -> postprocess, run_clairs_to
     # STEPs 3/5) ----------------------------------------------------------
     from clairs_to_tpu.postcall.postprocess import postprocess_vcf
 
     snv_merged = os.path.join(vcf_out, "snv_pileup.vcf")
-    merge_vcf_files(snv_paths, snv_merged)
+    with metrics.stage("merge"):
+        merge_vcf_files(snv_paths, snv_merged)
 
     if args.panel_of_normals and not args.disable_nonsomatic_tagging:
         from clairs_to_tpu.postcall.nonsomatic import tag_nonsomatic_file
 
+        _pon_stage = metrics.stage("pon_tagging")
+        _pon_stage.__enter__()
         tag_nonsomatic_file(
             snv_merged, snv_merged,
             args.panel_of_normals.split(","),
@@ -444,6 +481,7 @@ def main(argv=None):
             ),
             print_nonsomatic_calls=not args.do_not_print_nonsomatic_calls,
         )
+        _pon_stage.__exit__(None, None, None)
 
     snv_final = os.path.join(args.output_dir, f"{args.snv_output_prefix}.vcf")
     postprocess_vcf(
@@ -462,7 +500,8 @@ def main(argv=None):
             print(f"[INFO] Added back {n_added} missing genotyping sites")
 
     if not args.disable_verdict:
-        _run_verdict_stage(args, pipe, chunks, snv_final)
+        with metrics.stage("verdict"):
+            _run_verdict_stage(args, pipe, chunks, snv_final)
 
     from clairs_to_tpu.vcf.tabix import write_tabix_vcf
 
@@ -479,6 +518,11 @@ def main(argv=None):
         write_tabix_vcf(indel_final)
         print(f"[INFO] Indel output: {indel_final}")
     print(f"[INFO] {n_cand} candidates, total time {time.time() - t0:.1f}s")
+    metrics.report(out=tee)
+    if args.remove_intermediate_dir:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return 0
 
 
