@@ -291,7 +291,23 @@ def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    return _main_impl(args)
+    try:
+        return _main_impl(args)
+    except MemoryError:
+        sys.stderr.write(
+            "[ERROR] Out of memory. Consider: smaller --chunk_size, smaller "
+            "--device_batch, --skip_pon_md5-style options, or per-contig runs "
+            "(-c).\n"
+        )
+        return 1
+    except OSError as e:
+        if "Cannot allocate memory" in str(e):
+            sys.stderr.write(
+                "[ERROR] Out of memory (OS): {}. Consider smaller --chunk_size "
+                "or --device_batch.\n".format(e)
+            )
+            return 1
+        raise
 
 
 def _main_impl(args):
@@ -404,6 +420,9 @@ def _pipeline_body(args, metrics, t0, tee):
     pipe = CallingPipeline(
         fasta, args.tumor_bam_fn, snv_engine, indel_engine, options
     )
+    if args.min_bq is not None:
+        # explicit --min_bq overrides the platform AFF-view base quality
+        pipe.aff_min_bq = args.min_bq
 
     from clairs_to_tpu.utils.metrics import device_trace
 
