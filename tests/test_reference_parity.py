@@ -177,6 +177,123 @@ def _our_vcf(setup, path):
     return path
 
 
+def test_indel_mode_matches_reference(tmp_path):
+    """6-allele indel posterior + REF/ALT construction vs the reference."""
+    out = tmp_path
+    ds = simulate.make_dataset(
+        str(out / "sim"), seed=31, genome_len=20_000, coverage=50,
+        n_snv=4, n_indel=10, n_germline=3,
+    )
+    torch.manual_seed(5)
+    t_aff = ref_model.CvT_Indel(
+        num_classes=2, s1_emb_dim=16, s3_heads=4, s3_depth=3, model_type="acgt"
+    ).eval()
+    t_neg = ref_model.BiGRU_NACGT_Indel(num_classes=2, model_type="nacgt").eval()
+    from clairs_to_tpu.models import cvt as cvt_mod, bigru as bigru_mod
+
+    aff_params = convert.cvt_params_from_state_dict(
+        _np_state_dict(t_aff), cvt_mod.INDEL_CVT_CONFIG
+    )
+    neg_params = convert.bigru_params_from_state_dict(
+        _np_state_dict(t_neg), bigru_mod.INDEL_BIGRU_CONFIG
+    )
+
+    eng = PileupEngine(ds["genome"], 0, platform="ont")
+    for read in BamFile(ds["bam"]).fetch(ds["ctg"], 0, 20_000, excl_flags=2316):
+        eng.add_read(read)
+    _, indels, _ = eng.find_candidates(0, 20_000, select_indel_candidates=True)
+    indels = [p for p in indels if FLANK <= p < 20_000 - FLANK - 1]
+    assert indels, "no indel candidates — fixture broken"
+    counts, _ = eng.channel_counts(20, 0, 20_000)
+    eng.apply_reference_encoding(counts, 0)
+    alt = eng.alt_info_at(indels, min_bq=20)
+    x = np.stack([counts[p - FLANK : p + FLANK + 1] for p in indels]).astype(np.float32)
+    cov = np.array([alt[p][1] for p in indels], np.float64)
+
+    rng = np.random.default_rng(8)
+    lik6 = calibrate_likelihood(
+        rng.uniform(0.01, 0.99, (600, 6)), rng.uniform(0.01, 0.99, (600, 6)),
+        rng.integers(-1, 6, 600), n_alleles=6,
+    )
+    lik_path = str(out / "lik6.txt")
+    save_likelihood_matrix(lik_path, lik6)
+
+    # --- reference side --------------------------------------------------
+    scale = np.where(cov > 50, 50.0 / cov, 1.0).astype(np.float32)
+    xr = x * scale[:, None, None]
+    softmax = torch.nn.Softmax(dim=1)
+    with torch.no_grad():
+        pa = [softmax(t).numpy() for t in t_aff(torch.from_numpy(xr))]
+        pn = [softmax(t).numpy() for t in t_neg(torch.from_numpy(xr))]
+    fwd = x[:, FLANK, 0:4].copy()
+    rev = x[:, FLANK, 9:13].copy()
+    for block in (fwd, rev):
+        neg_rows = np.where(block < 0)
+        rs = np.sum(block[neg_rows[0]], axis=1)
+        block[neg_rows] = rs * -1
+
+    lik_data = np.loadtxt(lik_path)
+    L = [lik_data[10 * k : 10 * (k + 1)] for k in range(6)]
+    pts = []
+    for k in range(6):
+        a_pts = lik_data[60 + 2 * k : 61 + 2 * k].flatten()[:-1]
+        n_pts = lik_data[61 + 2 * k : 62 + 2 * k].flatten()[:-1]
+        pts.append(np.insert(np.insert(a_pts, 0, 0), len(a_pts) + 1, 1))
+        pts.append(np.insert(np.insert(n_pts, 0, 0), len(n_pts) + 1, 1))
+    lik_list = L + pts
+
+    config = ref_cv.OutputConfig(
+        is_show_reference=False, quality_score_for_pass=0, pileup=True,
+        disable_indel_calling=False,
+    )
+    ref_path = str(out / "ref_indel.vcf")
+    writer = VcfWriter(ref_path, ctg_name=ds["ctg"])
+
+    def rt(v):
+        return [float(f"{t:0.8f}") for t in v]
+
+    for i, p in enumerate(indels):
+        ref_cv.output_vcf_from_probability(
+            ds["ctg"], p + 1, eng._ref_base(p), alt[p][0],
+            str([float(v) for v in fwd[i]]), str([float(v) for v in rev[i]]),
+            rt(pa[0][i]), rt(pa[1][i]), rt(pa[2][i]), rt(pa[3][i]),
+            rt(pa[4][i]), rt(pa[5][i]),
+            rt(pn[0][i]), rt(pn[1][i]), rt(pn[2][i]), rt(pn[3][i]),
+            rt(pn[4][i]), rt(pn[5][i]),
+            lik_list, output_config=config, vcf_writer=writer,
+            disable_indel_calling=False,
+        )
+    writer.close()
+
+    # --- our side --------------------------------------------------------
+    lik_ours = post.load_likelihood_matrix(lik_path, n_alleles=6)
+    engine = InferenceEngine(aff_params, neg_params, lik_ours, mode="indel",
+                             device_batch=128)
+    res = engine.run_batch(x, x, cov.astype(np.float32), cov.astype(np.float32))
+    our_path = str(out / "our_indel.vcf")
+    writer = VcfWriter(our_path, ctg_name=ds["ctg"])
+    for i, p in enumerate(indels):
+        row = call_from_posterior(
+            CandidateRecord(ds["ctg"], p + 1, eng._ref_base(p), alt[p][0]),
+            res.posterior[i], res.forward_acgt[i], res.reverse_acgt[i],
+            mode="indel", show_ref=False, qual_cutoff=0,
+        )
+        if row is not None:
+            writer.write_row(**row)
+    writer.close()
+
+    ref_rows = [l.rstrip("\n") for l in open(ref_path) if not l.startswith("#")]
+    our_rows = [l.rstrip("\n") for l in open(our_path) if not l.startswith("#")]
+    assert len(ref_rows) == len(our_rows)
+    for r, o in zip(ref_rows, our_rows):
+        rc, oc = r.split("\t"), o.split("\t")
+        assert rc[:5] == oc[:5], f"\nref: {r}\nour: {o}"
+        assert rc[6:9] == oc[6:9], f"\nref: {r}\nour: {o}"
+        assert abs(float(rc[5]) - float(oc[5])) < 1.0
+        assert rc[9].split(":")[0] == oc[9].split(":")[0]
+        assert rc[9].split(":")[2:] == oc[9].split(":")[2:]
+
+
 def test_vcf_rows_match_reference(setup, tmp_path):
     """All discrete fields byte-identical; QUAL/GQ within framework noise.
 
