@@ -82,6 +82,9 @@ def build_parser():
                      help="Skip chunks whose per-chunk VCFs already exist under "
                           "<output_dir>/tmp (the in-process analog of the "
                           "reference's --skip_steps resume).")
+    adv.add_argument("--apply_baq", action="store_true",
+                     help="EXPERIMENTAL: probabilistic-realignment base "
+                          "quality capping (samtools BAQ; see bamio/baq.py).")
     adv.add_argument("--trace_dir", default=None,
                      help="Write a JAX profiler trace of the device loop here.")
 
@@ -402,6 +405,7 @@ def _pipeline_body(args, metrics, t0, tee):
         max_indel_length=args.max_indel_length,
         genotyping_sites=genotyping_sites,
         genotyping_mode=genotyping_mode,
+        apply_baq=args.apply_baq,
         bed_tree=bed_tree,
         indel_bed_tree=indel_bed_tree,
     )

@@ -48,6 +48,9 @@ class PipelineOptions:
     # restricts candidates to these sites, 'hybrid' unions with discovery
     genotyping_sites: Optional[dict] = None
     genotyping_mode: Optional[str] = None  # 'genotyping' | 'hybrid' | None
+    # EXPERIMENTAL: probabilistic realignment base-quality capping
+    # (samtools mpileup's default-on BAQ; see bamio/baq.py for status)
+    apply_baq: bool = False
     # region restriction (run_clairs_to -b/--bed_fn): BedTree or None
     bed_tree: object = None
     # indel candidates only inside these regions
@@ -105,7 +108,7 @@ class CallingPipeline:
         ref_seq = self.fasta.fetch(ctg, ref_start, ref_end)
 
         pe = None
-        if self.opt.use_native:
+        if self.opt.use_native and not self.opt.apply_baq:
             from clairs_to_tpu.bamio import native
 
             if native.available():
@@ -134,6 +137,15 @@ class CallingPipeline:
             for read in self._bam.fetch(
                 ctg, region_start, region_end, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG
             ):
+                if self.opt.apply_baq:
+                    from clairs_to_tpu.bamio.baq import apply_baq
+
+                    span_lo = max(read.pos - 7, ref_start)
+                    span_hi = min(read.reference_end() + 7, ref_start + len(ref_seq))
+                    window = ref_seq[span_lo - ref_start : span_hi - ref_start]
+                    read.qual = apply_baq(window, read.seq, read.qual).astype(
+                        read.qual.dtype
+                    )
                 pe.add_read(read)
 
         aff_counts, aff_depth = pe.channel_counts(
