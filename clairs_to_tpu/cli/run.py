@@ -436,6 +436,8 @@ def _pipeline_body(args, metrics, t0, tee):
     _calling_stage.__enter__()
     _trace = device_trace(args.trace_dir)
     _trace.__enter__()
+
+    todo = []
     for ch in chunks:
         sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
         ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
@@ -448,6 +450,16 @@ def _pipeline_body(args, metrics, t0, tee):
             print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
                   f"resumed from existing output")
             continue
+        todo.append(ch)
+
+    # -t >= 2: decode-ahead worker overlaps host pileup with device compute
+    if args.threads >= 2 and todo:
+        chunk_iter = ((ch, None) for (ch, _v) in pipe.iter_chunks(todo))
+    else:
+        chunk_iter = ((ch, None) for ch in todo)
+    for ch, _ in chunk_iter:
+        sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
+        ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
         res = pipe.call_chunk(ch)
         n_cand += res.n_candidates
 
@@ -458,7 +470,7 @@ def _pipeline_body(args, metrics, t0, tee):
                 pipe, ch, res, apply_hap_filter, apply_postfilter, args
             )
 
-        sp = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
+        sp = sp_path
         w = VcfWriter(sp, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
                       sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
         for row in res.snv_rows:
@@ -466,7 +478,7 @@ def _pipeline_body(args, metrics, t0, tee):
         w.close()
         snv_paths.append(sp)
         if call_indels:
-            ip = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
+            ip = ip_path
             w = VcfWriter(ip, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
                           sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
             for row in res.indel_rows:
@@ -476,6 +488,7 @@ def _pipeline_body(args, metrics, t0, tee):
         metrics.count("candidates", res.n_candidates)
         metrics.count("snv_rows", len(res.snv_rows))
         metrics.count("indel_rows", len(res.indel_rows))
+        pipe.evict_views(ch)
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
     _trace.__exit__(None, None, None)

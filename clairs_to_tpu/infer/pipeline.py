@@ -84,7 +84,7 @@ class CallingPipeline:
         self.opt = options or PipelineOptions()
         self._bam = None          # lazy: pure-Python fallback reader
         self._stream = None       # native sequential-window stream
-        self._views_memo = None   # (chunk, views): calling + filters share one decode
+        self._views_memo = {}     # chunk -> views: calling/filters/prefetch share decodes
         self.platform = cfg.platform_family(self.opt.platform)
         self.aff_min_bq = cfg.MIN_BQ_DICT.get(self.opt.platform,
                                               cfg.MIN_BQ_DICT.get(self.platform, 0))
@@ -97,8 +97,8 @@ class CallingPipeline:
         Region spans [ctg_start - 33, ctg_end + 33) 0-based like the
         reference's extended mpileup region (create_tensor:405-412).
         """
-        if self._views_memo is not None and self._views_memo[0] == chunk:
-            return self._views_memo[1]
+        if chunk in self._views_memo:
+            return self._views_memo[chunk]
         ctg = chunk.ctg_name
         ctg_len = self.fasta.contig_length(ctg)
         region_start = max(chunk.ctg_start - WIN, 0)
@@ -162,12 +162,29 @@ class CallingPipeline:
         if neg_counts is not aff_counts:
             pe.apply_reference_encoding(neg_counts, region_start)
         views = (pe, aff_counts, neg_counts, region_start, region_end)
-        self._views_memo = (chunk, views)
+        self._views_memo[chunk] = views
         return views
 
     def _window(self, counts, center, region_start):
         i = center - region_start
         return counts[i - FLANK : i + FLANK + 1, : cfg.PILEUP_CHANNEL_SIZE]
+
+    def evict_views(self, chunk):
+        self._views_memo.pop(chunk, None)
+
+    def iter_chunks(self, chunks, prefetch_depth=2):
+        """Yield (chunk, views) with decode-ahead on a worker thread.
+
+        The host decode of chunk N+1 (BGZF inflate + entry expansion + C++
+        reductions, which release the GIL) overlaps the device compute of
+        chunk N — the in-process analog of the reference's loader/compute
+        thread pair (clairs/predict.py:610-718).  A single worker keeps the
+        streaming BAM reader strictly sequential."""
+        from clairs_to_tpu.parallel.scheduler import PrefetchPipeline
+
+        return PrefetchPipeline(
+            self.build_chunk_views, chunks, depth=prefetch_depth, workers=1
+        )
 
     # ------------------------------------------------------------------
     def call_chunk(self, chunk: Chunk) -> ChunkResult:
