@@ -80,7 +80,7 @@ def _linear(x, p):
 
 
 def forward(params, x, config: BiGRUConfig = SNV_BIGRU_CONFIG,
-            dropout_rate: float = 0.0, rng=None):
+            dropout_rate: float = 0.0, rng=None, use_pallas: bool = False):
     """Run the BiGRU trunk + per-allele heads.
 
     Args:
@@ -98,8 +98,13 @@ def forward(params, x, config: BiGRUConfig = SNV_BIGRU_CONFIG,
         mask = jax.random.bernoulli(jax.random.fold_in(rng, key), keep, t.shape)
         return jnp.where(mask, t / keep, 0.0)
 
-    out = _bigru_layer(x, params["gru1"], config.hidden1)
-    out = _bigru_layer(out, params["gru2"], config.hidden2)
+    if use_pallas:
+        # fused VMEM-resident recurrence (ops/gru_pallas.py); TPU only
+        from clairs_to_tpu.ops.gru_pallas import bigru_layer_pallas as _layer
+    else:
+        _layer = _bigru_layer
+    out = _layer(x, params["gru1"], config.hidden1)
+    out = _layer(out, params["gru2"], config.hidden2)
     b = out.shape[0]
     flat = dropout(out.reshape(b, -1), 0)
     feat = jax.nn.selu(dropout(_linear(flat, params["fc1"]), 1))
