@@ -1,0 +1,35 @@
+"""Verdict stage through the CLI: runs (or skips) gracefully on flat data."""
+
+import os
+
+import pytest
+
+from clairs_to_tpu.bamio import simulate
+from clairs_to_tpu.bench.demo import DEFAULT_ASSET_DIR
+from clairs_to_tpu.cli.run import main as cli_main
+
+has_assets = os.path.exists(os.path.join(DEFAULT_ASSET_DIR, "aff.npz"))
+pytestmark = pytest.mark.skipif(not has_assets, reason="demo assets missing")
+
+
+def test_verdict_stage_runs(tmp_path, capsys):
+    ds = simulate.make_dataset(
+        str(tmp_path / "sim"), seed=19, genome_len=40_000, coverage=55,
+        n_snv=10, n_germline=20,  # plenty of het loci for the verdict input
+    )
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([
+        "-T", ds["bam"], "-R", ds["fasta"], "-o", out_dir,
+        "-t", "1", "-p", "ont", "--disable_indel_calling", "true",
+        "--model_dir", DEFAULT_ASSET_DIR, "--device_batch", "256",
+        "--disable_intermediate_phasing",
+        # verdict enabled (no --disable_verdict)
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the stage must either report a result or a graceful skip — never crash
+    assert ("Verdict" in out) or ("Verdict skipped" in out), out[-500:]
+    assert os.path.exists(os.path.join(out_dir, "snv.vcf"))
+    # diploid flat-coverage sim: verdict must not have destroyed PASS calls
+    body = [l for l in open(os.path.join(out_dir, "snv.vcf")) if not l.startswith("#")]
+    assert sum(1 for l in body if "\tPASS\t" in l) >= 5
