@@ -65,7 +65,21 @@ def compare_vcf(
     ctg_start=None,
     ctg_end=None,
     qual_sweep=True,
+    strat_bed_fns=None,
+    min_af=None,
+    min_alt_coverage=2,
+    tumor_bam_fn=None,
+    fasta=None,
+    platform="ont",
 ) -> CompareResult:
+    """som.py-style comparison.
+
+    strat_bed_fns: list of stratification BEDs — both truth and query are
+    restricted to their intersection (compare_vcf.py:104-109, 225-246).
+    min_af (+ tumor_bam_fn + fasta): AF-aware FN exclusion — truth sites
+    whose observed tumor support is below min_af / min_alt_coverage are
+    removed from the FN pool (compare_vcf.py:146-172 + cal_af_distribution).
+    """
     truth = VcfReader(
         truth_vcf_fn, ctg_name=ctg_name, ctg_start=ctg_start, ctg_end=ctg_end,
         show_ref=False, skip_genotype=skip_genotyping, filter_tag=truth_filter_tag,
@@ -79,16 +93,37 @@ def compare_vcf(
     query.read_vcf()
 
     bed = bed_tree_from(bed_fn, contig_name=ctg_name) if bed_fn else None
+    strat_trees = [
+        bed_tree_from(f, contig_name=ctg_name) for f in (strat_bed_fns or [])
+    ]
 
     def in_bed(key):
-        if bed is None or len(bed) == 0:
-            return True
         pos = key if not isinstance(key, tuple) else key[1]
         ctg = ctg_name if not isinstance(key, tuple) else key[0]
-        return bed.is_region_in(ctg, pos - 1, pos)
+        if bed is not None and len(bed) and not bed.is_region_in(ctg, pos - 1, pos):
+            return False
+        for tree in strat_trees:
+            if len(tree) and not tree.is_region_in(ctg, pos - 1, pos):
+                return False
+        return True
 
     truth_dict = {k: v for k, v in truth.variant_dict.items() if in_bed(k)}
     query_dict = {k: v for k, v in query.variant_dict.items() if in_bed(k)}
+
+    if min_af is not None and tumor_bam_fn is not None and fasta is not None:
+        from clairs_to_tpu.bench.af_distribution import cal_af
+
+        sites = []
+        for k, v in truth_dict.items():
+            ctg = v.ctg_name
+            sites.append((ctg, v.pos, v.reference_bases, v.alternate_bases[0]))
+        support = cal_af(tumor_bam_fn, fasta, sites, platform=platform)
+        drop = set()
+        for k, v in truth_dict.items():
+            cov, alt_n = support.get((v.ctg_name, v.pos), (0, 0))
+            if alt_n == 0 or cov == 0 or alt_n / cov < min_af or alt_n <= min_alt_coverage:
+                drop.add(k)
+        truth_dict = {k: v for k, v in truth_dict.items() if k not in drop}
 
     if benchmark_indel:
         query_dict = {
