@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from clairs_to_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from clairs_to_tpu.models import cvt, bigru
     from clairs_to_tpu.ops import posterior as post
 

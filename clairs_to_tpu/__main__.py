@@ -188,6 +188,9 @@ def _train(argv):
     else:
         tiny_cvt, tiny_gru = TINY_CVT, TINY_BIGRU
 
+    from clairs_to_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     os.makedirs(a.output_dir, exist_ok=True)
     rng = np.random.default_rng(7)
     kw = dict(depth_range=(25, 95), somatic_af_range=(0.08, 0.35), mode=a.mode)

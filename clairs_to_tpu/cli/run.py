@@ -85,6 +85,9 @@ def build_parser():
     adv.add_argument("--apply_baq", action="store_true",
                      help="EXPERIMENTAL: probabilistic-realignment base "
                           "quality capping (samtools BAQ; see bamio/baq.py).")
+    adv.add_argument("--predict_fn", default=None,
+                     help="DEBUG: dump raw network probabilities to this path "
+                          "(reference predict --predict_fn TSV format).")
     adv.add_argument("--trace_dir", default=None,
                      help="Write a JAX profiler trace of the device loop here.")
 
@@ -103,6 +106,10 @@ def _str2bool(v):
 def load_engines(args, mesh=None):
     """Load trained checkpoints + likelihood matrices into engines."""
     import jax
+
+    from clairs_to_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from clairs_to_tpu.infer.engine import InferenceEngine
     from clairs_to_tpu.models import cvt, bigru
@@ -406,6 +413,7 @@ def _pipeline_body(args, metrics, t0, tee):
         genotyping_sites=genotyping_sites,
         genotyping_mode=genotyping_mode,
         apply_baq=args.apply_baq,
+        predict_fn=args.predict_fn,
         bed_tree=bed_tree,
         indel_bed_tree=indel_bed_tree,
     )

@@ -56,6 +56,9 @@ class PipelineOptions:
     # indel candidates only inside these regions
     # (--call_indels_only_in_these_regions, extract_candidates:391-404)
     indel_bed_tree: object = None
+    # DEBUG: dump network probabilities as the reference's predict --predict_fn
+    # 15/19-column TSV (predict.py:114-152); path template gets .snv/.indel
+    predict_fn: Optional[str] = None
 
 
 @dataclass
@@ -169,6 +172,28 @@ class CallingPipeline:
         i = center - region_start
         return counts[i - FLANK : i + FLANK + 1, : cfg.PILEUP_CHANNEL_SIZE]
 
+    def _dump_probabilities(self, chunk, positions, pe, aff_alt, batch, mode):
+        """predict.py print_output_message TSV: ctg pos ref alt_info fwd rev
+        then per-allele 'p0 p1' pairs for AFF and NEG."""
+        import os
+
+        path = f"{self.opt.predict_fn}.{mode}"
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            for i, p in enumerate(positions):
+                cols = [
+                    chunk.ctg_name, str(p + 1), pe._ref_base(p), aff_alt[p][0],
+                    str([float(v) for v in batch.forward_acgt[i]]),
+                    str([float(v) for v in batch.reverse_acgt[i]]),
+                ]
+                for k in range(batch.p_aff.shape[1]):
+                    cols.append("{:0.8f} {:0.8f}".format(
+                        1.0 - batch.p_aff[i, k], batch.p_aff[i, k]))
+                for k in range(batch.p_neg.shape[1]):
+                    cols.append("{:0.8f} {:0.8f}".format(
+                        1.0 - batch.p_neg[i, k], batch.p_neg[i, k]))
+                f.write("\t".join(cols) + "\n")
+
     def evict_views(self, chunk):
         self._views_memo.pop(chunk, None)
 
@@ -266,6 +291,10 @@ class CallingPipeline:
         batch = engine.run_batch(
             x_aff.astype(np.float32), x_neg.astype(np.float32), cov_aff, cov_neg
         )
+        if self.opt.predict_fn:
+            self._dump_probabilities(
+                chunk, positions, pe, aff_alt, batch, mode
+            )
         records = [
             CandidateRecord(
                 chrom=chunk.ctg_name,
