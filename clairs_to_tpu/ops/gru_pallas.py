@@ -27,8 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_scan_kernel(xg_ref, whh_ref, bhh_ref, out_ref, h_ref):
-    """One grid step = one timestep; h_ref (VMEM scratch) carries state."""
-    t = pl.program_id(0)
+    """Grid = (batch tiles, timesteps); the TPU grid iterates the last axis
+    fastest, so for each batch tile the T steps run sequentially with the
+    hidden state carried in the VMEM scratch (reset at t == 0)."""
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -65,24 +67,32 @@ def gru_direction_pallas(x_gates, w_hh_t, b_hh, hidden):
     """
     T, B, threeH = x_gates.shape
     H = hidden
+    BT = min(B, 256)               # batch tile: keeps VMEM well under budget
+    pad = (-B) % BT
+    if pad:
+        x_gates = jnp.pad(x_gates, ((0, 0), (0, pad), (0, 0)))
+    Bp = B + pad
     b_hh2 = jnp.broadcast_to(b_hh, (1, threeH)).astype(jnp.float32)
     grid_spec = pl.GridSpec(
-        grid=(T,),
+        grid=(Bp // BT, T),
         in_specs=[
-            pl.BlockSpec((1, B, threeH), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BT, threeH), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, threeH), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, threeH), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, threeH), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, threeH), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BT, H), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gru_scan_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
     )(x_gates.astype(jnp.float32), w_hh_t.astype(jnp.float32), b_hh2)
+    return out[:, :B]
 
 
 def bigru_layer_pallas(x, p, hidden):
