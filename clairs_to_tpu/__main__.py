@@ -145,10 +145,12 @@ def _gen_contaminated(argv):
     p.add_argument("--coverage", type=int, default=60)
     p.add_argument("--n_snv", type=int, default=20)
     p.add_argument("--n_indel", type=int, default=0)
+    p.add_argument("--n_germline", type=int, default=0)
     a = p.parse_args(argv)
     ds = make_dataset(
         a.output_dir, seed=a.seed, genome_len=a.genome_len, coverage=a.coverage,
-        n_snv=a.n_snv, n_indel=a.n_indel, tumor_purity=a.purity,
+        n_snv=a.n_snv, n_indel=a.n_indel, n_germline=a.n_germline,
+        tumor_purity=a.purity,
     )
     print(f"[INFO] dataset at purity {a.purity}: {ds['bam']}")
     return 0

@@ -284,7 +284,9 @@ def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
     loci = {c: l for c, l in loci.items() if c in engines}
     if not loci:
         return
-    result = run_verdict(engines, loci, rows)
+    cna_dir = os.path.join(args.output_dir, "tmp", "cna_output")
+    result = run_verdict(engines, loci, rows, cna_output_dir=cna_dir,
+                         sample_name=args.sample_name)
     if result.applied and result.n_tagged:
         with open(snv_vcf_path, "w") as out:
             out.writelines(header)

@@ -35,6 +35,36 @@ class VerdictResult:
     reason: str = ""
 
 
+def write_cna_outputs(out_dir, sample_name, ctg_order, chrom, pos, logr, baf,
+                      hom, logr_seg, result):
+    """Write the reference's cna_output/ file layout (SURVEY.md Appendix A):
+    Tumor_LogR/BAF/GG/LogR_PCFed/Purity_Ploidy/CNA tab files."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    header = f"Chromosome\tPosition\t{sample_name}\n"
+
+    def dump(name, values, fmt="{}"):
+        with open(os.path.join(out_dir, f"{sample_name}_{name}.txt"), "w") as f:
+            f.write(header)
+            for ci, p, v in zip(chrom, pos, values):
+                f.write(f"{ctg_order[int(ci)]}\t{int(p) + 1}\t" + fmt.format(v) + "\n")
+
+    dump("Tumor_LogR", logr)
+    dump("Tumor_BAF", baf)
+    dump("Tumor_GG", ["True" if h else "False" for h in hom])
+    if logr_seg is not None:
+        dump("Tumor_LogR_PCFed", logr_seg)
+    if result is not None and result.purity is not None:
+        with open(os.path.join(out_dir, f"{sample_name}_Tumor_Purity_Ploidy.txt"), "w") as f:
+            f.write("Purity\tPloidy\n")
+            f.write(f"{result.purity}\t{result.ploidy}\n")
+        with open(os.path.join(out_dir, f"{sample_name}_Tumor_CNA.txt"), "w") as f:
+            f.write("\tchr\tstartpos\tendpos\tnMajor\tnMinor\n")
+            for i, (ctg, s, e, na, nb) in enumerate(result.segments):
+                f.write(f"{i + 1}\t{ctg}\t{s}\t{e}\t{na}\t{nb}\n")
+
+
 def run_verdict(
     pileup_engines,       # {ctg: PileupEngine} over the loci regions
     loci,                 # {ctg: (positions0, ref_idx, alt_idx)} candidate het loci
@@ -44,6 +74,8 @@ def run_verdict(
     gc_content=None,
     replication_timing=None,
     rng=None,
+    cna_output_dir=None,
+    sample_name="SAMPLE",
 ) -> VerdictResult:
     rng = rng or np.random.default_rng(0)
     all_logr, all_baf, all_chrom, all_pos = [], [], [], []
@@ -73,10 +105,16 @@ def run_verdict(
     hom = predict_germline_genotypes(baf, chrom)
     logr_seg, baf_seg, het_mask = aspcf_segment(logr, baf, hom, chrom, penalty=penalty)
     if logr_seg is None:
+        if cna_output_dir:
+            write_cna_outputs(cna_output_dir, sample_name, ctg_order, chrom,
+                              pos, logr, baf, hom, None, None)
         return VerdictResult(None, None, [], 0, False, "no heterozygous loci")
 
     res: Optional[AscatResult] = run_ascat(logr_seg, baf_seg, het_mask, baf, gamma=gamma)
     if res is None:
+        if cna_output_dir:
+            write_cna_outputs(cna_output_dir, sample_name, ctg_order, chrom,
+                              pos, logr, baf, hom, logr_seg, None)
         return VerdictResult(None, None, [], 0, False, "no ASCAT optimum")
 
     segments = []
@@ -86,6 +124,13 @@ def run_verdict(
             (ctg, int(pos[start]) + 1, int(pos[end]) + 1, int(n_major), int(n_minor))
         )
 
+    result_for_files = VerdictResult(
+        purity=res.purity, ploidy=res.ploidy, segments=segments,
+        n_tagged=0, applied=True,
+    )
+    if cna_output_dir:
+        write_cna_outputs(cna_output_dir, sample_name, ctg_order, chrom, pos,
+                          logr, baf, hom, logr_seg, result_for_files)
     n_tagged = tag_vcf_rows(rows, res.purity, segments)
     applied = res.purity <= 0.6
     return VerdictResult(

@@ -133,3 +133,33 @@ def test_tag_vcf_rows_purity_gate():
     n = tagging.tag_vcf_rows(rows, purity=0.4, segments=segs)
     if n:
         assert "Verdict" in rows[0]["INFO"]
+
+
+def test_write_cna_outputs_layout(tmp_path):
+    """Reference cna_output/ layout: SAMPLE_Tumor_{LogR,BAF,GG,LogR_PCFed,
+    Purity_Ploidy,CNA}.txt (src/cna_germline_tagging.py output files)."""
+    import numpy as np
+    from clairs_to_tpu.verdict.pipeline import write_cna_outputs, VerdictResult
+
+    n = 6
+    res = VerdictResult(
+        purity=0.42, ploidy=2.1,
+        segments=[("chr1", 100, 5000, 1, 1)], n_tagged=0, applied=True,
+    )
+    out = str(tmp_path / "cna_output")
+    write_cna_outputs(
+        out, "S1", ["chr1"], np.zeros(n, int), np.arange(n) * 100,
+        np.linspace(-0.2, 0.2, n), np.linspace(0.3, 0.7, n),
+        np.array([True, False] * 3), np.zeros(n), res,
+    )
+    for name in ("Tumor_LogR", "Tumor_BAF", "Tumor_GG", "Tumor_LogR_PCFed"):
+        path = tmp_path / "cna_output" / f"S1_{name}.txt"
+        lines = path.read_text().splitlines()
+        assert lines[0] == "Chromosome\tPosition\tS1"
+        assert len(lines) == 1 + n
+        assert lines[1].startswith("chr1\t1\t")
+    pp = (tmp_path / "cna_output" / "S1_Tumor_Purity_Ploidy.txt").read_text()
+    assert pp.splitlines()[1] == "0.42\t2.1"
+    cna = (tmp_path / "cna_output" / "S1_Tumor_CNA.txt").read_text().splitlines()
+    assert cna[0] == "\tchr\tstartpos\tendpos\tnMajor\tnMinor"
+    assert cna[1] == "1\tchr1\t100\t5000\t1\t1"

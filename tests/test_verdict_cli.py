@@ -33,3 +33,10 @@ def test_verdict_stage_runs(tmp_path, capsys):
     # diploid flat-coverage sim: verdict must not have destroyed PASS calls
     body = [l for l in open(os.path.join(out_dir, "snv.vcf")) if not l.startswith("#")]
     assert sum(1 for l in body if "\tPASS\t" in l) >= 5
+    # when the verdict sub-pipeline actually ran, the reference's cna_output/
+    # file layout must be on disk (tmp/cna_output/<sample>_Tumor_*.txt)
+    cna_dir = os.path.join(out_dir, "tmp", "cna_output")
+    if "Verdict:" in out and os.path.isdir(cna_dir):
+        names = os.listdir(cna_dir)
+        assert any(n.endswith("_Tumor_LogR.txt") for n in names), names
+        assert any(n.endswith("_Tumor_BAF.txt") for n in names), names
