@@ -82,6 +82,20 @@ def build_parser():
                      help="Skip chunks whose per-chunk VCFs already exist under "
                           "<output_dir>/tmp (the in-process analog of the "
                           "reference's --skip_steps resume).")
+    adv.add_argument("--skip_steps", default=None,
+                     help="Comma-separated 1-based step indices to skip "
+                          "(reference run_clairs_to:1862-1896). The in-process "
+                          "pipeline has no shell-step boundaries, so any valid "
+                          "value enables per-chunk resume (same effect as "
+                          "--resume); indices are validated as in the "
+                          "reference (run_clairs_to:190-205).")
+    adv.add_argument("--alt_fn", default=None,
+                     help="DEBUG: dump passing candidate sites to this path "
+                          "(extract_candidates_calling.py --alt_fn).")
+    adv.add_argument("--output_depth", type=str, default="False",
+                     help="Include depth column in the --alt_fn dump.")
+    adv.add_argument("--output_alt_info", type=str, default="False",
+                     help="Include alt-info columns in the --alt_fn dump.")
     adv.add_argument("--apply_baq", action="store_true",
                      help="EXPERIMENTAL: probabilistic-realignment base "
                           "quality capping (samtools BAQ; see bamio/baq.py).")
@@ -357,10 +371,30 @@ def _pipeline_body(args, metrics, t0, tee):
     ctg_names = args.ctg_name.split(",") if args.ctg_name else None
     region = None
     if args.region:
-        ctg, span = args.region.split(":")
-        start, end = (int(x) for x in span.split("-"))
+        try:
+            ctg, span = args.region.split(":")
+            start, end = (int(x) for x in span.split("-"))
+        except ValueError:
+            sys.exit("[ERROR] Please use the correct format for --region: "
+                     f"ctg_name:start-end, your input is {args.region}")
+        if end < start or start < 1:
+            sys.exit(f"[ERROR] Invalid region input: {args.region}")
         ctg_names = [ctg]
         region = (start - 1, end)
+        # materialise the region as tmp/region.bed + an in-memory tree so
+        # candidates (not just chunks) are gated precisely, matching the
+        # reference's region->bed_fn substitution (run_clairs_to:371-397)
+        region_bed = os.path.join(tmp_dir, "region.bed")
+        with open(region_bed, "w") as f:
+            f.write(f"{ctg}\t{start - 1}\t{end}\n")
+        args.bed_fn = region_bed
+
+    if args.skip_steps is not None:
+        steps = [s for s in args.skip_steps.rstrip().split(",") if s]
+        if not steps or not all(s.strip().isdigit() and int(s) >= 1 for s in steps):
+            sys.exit("[ERROR] --skip_steps option provided but contains "
+                     "invalid skip steps index, should be 1-index")
+        args.resume = True
     chunks = plan_chunks(
         fasta, ctg_names=ctg_names, chunk_size=args.chunk_size,
         include_all_ctgs=args.include_all_ctgs,
@@ -418,6 +452,9 @@ def _pipeline_body(args, metrics, t0, tee):
         predict_fn=args.predict_fn,
         bed_tree=bed_tree,
         indel_bed_tree=indel_bed_tree,
+        alt_fn=args.alt_fn,
+        output_depth=_str2bool(args.output_depth),
+        output_alt_info=_str2bool(args.output_alt_info),
     )
     fam = cfg.platform_family(args.platform)
     apply_hap_filter = (

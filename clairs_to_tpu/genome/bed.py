@@ -128,6 +128,18 @@ def bed_tree_from(bed_file_path, contig_name=None, bed_ctg_start=None, bed_ctg_e
     return tree
 
 
+def bed_tree_from_region(ctg_name, start, end):
+    """BedTree covering one 0-based [start, end) region.
+
+    The reference materialises ``--region`` as a one-row tmp/region.bed and
+    substitutes it for --bed_fn (run_clairs_to:371-397); this builds the
+    equivalent tree in memory.
+    """
+    tree = BedTree()
+    tree.contigs[ctg_name] = IntervalSet([start], [end])
+    return tree
+
+
 def is_region_in(tree, contig_name, region_start=None, region_end=None):
     """Compatibility shim for shared/interval_tree.py:80-88."""
     if not isinstance(tree, BedTree):

@@ -59,6 +59,11 @@ class PipelineOptions:
     # DEBUG: dump network probabilities as the reference's predict --predict_fn
     # 15/19-column TSV (predict.py:114-152); path template gets .snv/.indel
     predict_fn: Optional[str] = None
+    # DEBUG: dump passing candidate sites as the reference's --alt_fn file
+    # (extract_candidates_calling.py:314-355): ctg pos ref [depth] [alt infos]
+    alt_fn: Optional[str] = None
+    output_depth: bool = False
+    output_alt_info: bool = False
 
 
 @dataclass
@@ -194,6 +199,32 @@ class CallingPipeline:
                         1.0 - batch.p_neg[i, k], batch.p_neg[i, k]))
                 f.write("\t".join(cols) + "\n")
 
+    def _dump_alt_fn(self, chunk, positions, infos):
+        """extract_candidates_calling.py:314-355 --alt_fn debug dump.
+
+        One row per passing candidate: ctg pos ref [depth] [alt-count list,
+        'entry:count' pileup infos] — positions 1-based as in the reference's
+        mpileup rows."""
+        with open(self.opt.alt_fn, "a") as f:
+            for p in positions:
+                info = infos.get(p)
+                if info is None:
+                    continue
+                cols = [chunk.ctg_name, str(p + 1),
+                        self._ref_base_of(chunk, p)]
+                if self.opt.output_depth:
+                    cols.append(str(info.depth))
+                if self.opt.output_alt_info:
+                    cols.append(",".join(str(c) for _k, c in info.alt_list))
+                    cols.append(" ".join(f"{k}:{c}" for k, c in info.alt_list))
+                f.write("\t".join(cols) + "\n")
+
+    def _ref_base_of(self, chunk, pos):
+        views = self._views_memo.get(chunk)
+        if views is not None:
+            return views[0]._ref_base(pos)
+        return self.fasta.fetch(chunk.ctg_name, pos, pos + 1)
+
     def evict_views(self, chunk):
         self._views_memo.pop(chunk, None)
 
@@ -251,6 +282,9 @@ class CallingPipeline:
                 p for p in indel_pos
                 if opt.indel_bed_tree.is_region_in(chunk.ctg_name, p, p + 1)
             ]
+        if opt.alt_fn and opt.genotyping_mode != "genotyping":
+            self._dump_alt_fn(chunk, sorted(set(snv_pos) | set(indel_pos)), infos)
+
         result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
 
         result.snv_rows = self._call_positions(

@@ -66,4 +66,40 @@ def test_cli_region_restriction(dataset, tmp_path):
         l for l in open(os.path.join(out_dir, "snv.vcf"))
         if not l.startswith("#")
     ]
-    assert all(int(l.split("\t")[1]) <= 10000 + 50000 for l in body)
+    # precise gating: --region is materialised as a BED (tmp/region.bed) and
+    # candidates outside it are excluded, not just non-overlapping chunks
+    assert body, "region run produced no calls"
+    assert all(1 <= int(l.split("\t")[1]) <= 10000 for l in body)
+    assert os.path.exists(os.path.join(out_dir, "tmp", "region.bed"))
+
+
+def test_cli_region_invalid(dataset, tmp_path):
+    with pytest.raises(SystemExit):
+        cli_main([
+            "-T", dataset["bam"], "-R", dataset["fasta"],
+            "-o", str(tmp_path / "o"), "-t", "1", "-p", "ont",
+            "-r", "chrS:9000-100",
+        ])
+
+
+def test_cli_alt_fn_and_skip_steps(dataset, tmp_path):
+    out_dir = str(tmp_path / "out_alt")
+    alt_fn = str(tmp_path / "alt.tsv")
+    argv = [
+        "-T", dataset["bam"], "-R", dataset["fasta"], "-o", out_dir,
+        "-t", "1", "-p", "ont", "--disable_indel_calling", "true",
+        "--model_dir", DEFAULT_ASSET_DIR, "--device_batch", "256",
+        "--disable_intermediate_phasing",
+        "--alt_fn", alt_fn, "--output_depth", "true", "--output_alt_info", "true",
+    ]
+    assert cli_main(argv) == 0
+    rows = [l.rstrip("\n").split("\t") for l in open(alt_fn)]
+    assert rows, "alt_fn dump is empty"
+    for cols in rows:
+        assert len(cols) == 6  # ctg pos ref depth af_infos pileup_infos
+        assert cols[0] == "chrS" and int(cols[1]) >= 1 and cols[2] in "ACGT"
+        assert int(cols[3]) > 0
+    # --skip_steps validates indices and enables per-chunk resume
+    with pytest.raises(SystemExit):
+        cli_main(argv + ["--skip_steps", "0,x"])
+    assert cli_main(argv + ["--skip_steps", "1,2"]) == 0
