@@ -59,6 +59,17 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.pileup_stream_window_begin.restype = ctypes.c_void_p
+        lib.pileup_stream_window_begin.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pileup_stream_window_fill.restype = ctypes.c_int64
+        lib.pileup_stream_window_fill.argtypes = [
+            ctypes.c_void_p] + [ctypes.c_void_p] * 13
+        lib.pileup_stream_window_abort.restype = None
+        lib.pileup_stream_window_abort.argtypes = [ctypes.c_void_p]
         lib.entry_channel_counts.restype = None
         lib.entry_channel_counts.argtypes = [
             ctypes.c_int64] + [ctypes.c_void_p] * 9 + [
@@ -73,6 +84,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.entry_group_count.restype = None
+        lib.entry_group_count.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.entry_group_fill.restype = None
+        lib.entry_group_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e
@@ -81,6 +102,45 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def group_entries_at(pos_arr, want_sorted):
+    """Entry indices grouped by wanted position, preserving entry order.
+
+    Returns {pos: int64 index array}; the single O(n) C++ pass replaces
+    per-call full-table scans (alt_info_at / find_candidates exact stage).
+    Falls back to numpy when the native lib is unavailable.
+    """
+    want = np.asarray(want_sorted, dtype=np.int64)
+    n = len(pos_arr)
+    if len(want) == 0 or n == 0:
+        return {int(p): np.empty(0, np.int64) for p in want}
+    lib = get_lib()
+    pos_arr = np.ascontiguousarray(pos_arr, dtype=np.int64)
+    if lib is not None:
+        counts = np.empty(len(want), np.int64)
+        ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.entry_group_count(n, ptr(pos_arr), len(want), ptr(want), ptr(counts))
+        offsets = np.zeros(len(want), np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        out_idx = np.empty(int(counts.sum()), np.int64)
+        lib.entry_group_fill(n, ptr(pos_arr), len(want), ptr(want),
+                             ptr(offsets), ptr(out_idx))
+        return {
+            int(p): out_idx[offsets[k] : offsets[k] + counts[k]]
+            for k, p in enumerate(want)
+        }
+    pp = np.searchsorted(want, pos_arr)
+    hit = (pp < len(want)) & (want[np.minimum(pp, len(want) - 1)] == pos_arr)
+    hit_idx = np.nonzero(hit)[0]
+    order = np.argsort(pos_arr[hit_idx], kind="stable")
+    hit_idx = hit_idx[order]
+    groups = {int(p): [] for p in want}
+    bounds = np.searchsorted(pos_arr[hit_idx], want)
+    bounds = np.append(bounds, len(hit_idx))
+    for k, p in enumerate(want):
+        groups[int(p)] = hit_idx[bounds[k] : bounds[k + 1]]
+    return groups
 
 
 class LazyIseq:
@@ -154,16 +214,56 @@ class BamStreamReader:
             return load_entry_table(
                 self.bam_path, ctg, start, end, excl_flags, min_mapq, handle_overlaps
             )
-        h = lib.pileup_stream_window(
+        # two-phase direct fill: count sizes, then decode straight into the
+        # numpy buffers (no intermediate C++ vectors, no export copy)
+        n_c = ctypes.c_int64(0)
+        bl_c = ctypes.c_int64(0)
+        pw = lib.pileup_stream_window_begin(
             self._h, ctg.encode(), int(start), int(end),
             int(excl_flags), int(min_mapq), 1 if handle_overlaps else 0,
+            ctypes.byref(n_c), ctypes.byref(bl_c),
         )
         self._last = key
-        if not h:
+        if not pw:
             return load_entry_table(
                 self.bam_path, ctg, start, end, excl_flags, min_mapq, handle_overlaps
             )
-        return _export_table(lib, h)
+        n, blob_cap = n_c.value, bl_c.value
+        pos = np.empty(n, np.int64)
+        code = np.empty(n, np.int8)
+        bq = np.empty(n, np.int16)
+        mq = np.empty(n, np.int16)
+        hp = np.empty(n, np.int8)
+        ikind = np.empty(n, np.int8)
+        ilen = np.empty(n, np.int32)
+        iseq_off = np.empty(n, np.int64)
+        blob = np.empty(blob_cap, np.uint8)
+        read_id = np.empty(n, np.int32)
+        eflags = np.empty(n, np.int8)
+        n_used = ctypes.c_int64(0)
+        blob_used = ctypes.c_int64(0)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_stream_window_fill(
+            pw, p(pos), p(code), p(bq), p(mq), p(hp), p(ikind), p(ilen),
+            p(iseq_off), p(blob), p(read_id), p(eflags),
+            ctypes.byref(n_used), ctypes.byref(blob_used),
+        )
+        if n_used.value != n:
+            # counting overestimates only for degenerate zero-length CIGAR
+            # ops; trim to the filled prefix
+            sl = slice(0, n_used.value)
+            pos, code, bq, mq = pos[sl], code[sl], bq[sl], mq[sl]
+            hp, ikind, ilen = hp[sl], ikind[sl], ilen[sl]
+            iseq_off, read_id, eflags = iseq_off[sl], read_id[sl], eflags[sl]
+        if blob_used.value != blob_cap:
+            blob = blob[: blob_used.value]
+        return dict(
+            pos=pos, code=code, bq=bq, mq=mq, hp=hp,
+            ikind=ikind, ilen=ilen,
+            iseq=LazyIseq(blob, iseq_off, ilen, ikind),
+            read_id=read_id, eflags=eflags,
+            iseq_off=iseq_off, iseq_blob=blob,
+        )
 
 
 def load_entry_table(bam_path, ctg, start, end, excl_flags=2316, min_mapq=0,

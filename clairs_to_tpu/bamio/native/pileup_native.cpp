@@ -52,18 +52,38 @@ int8_t base_code(char b, bool rev) {
   }
 }
 
+// Column storage in one of two modes: owned (growable vector, legacy
+// export path) or external (caller-provided buffer, e.g. a numpy array the
+// decode writes into directly — no intermediate copy, no per-window
+// alloc/free churn).  External mode requires the exact capacity from the
+// counting pass (pileup_stream_window_begin).
+template <typename T>
+struct Col {
+  std::vector<T> own;
+  T* ext = nullptr;
+  size_t n = 0;
+  inline void push_back(T v) {
+    if (ext) ext[n++] = v;
+    else own.push_back(v), n++;
+  }
+  inline T& operator[](size_t i) { return ext ? ext[i] : own[i]; }
+  inline const T& operator[](size_t i) const { return ext ? ext[i] : own[i]; }
+  inline size_t size() const { return n; }
+  inline const T* data() const { return ext ? ext : own.data(); }
+};
+
 struct EntryTable {
-  std::vector<int64_t> pos;
-  std::vector<int8_t> code;
-  std::vector<int16_t> bq;
-  std::vector<int16_t> mq;
-  std::vector<int8_t> hp;
-  std::vector<int8_t> ikind;
-  std::vector<int32_t> ilen;
-  std::vector<int64_t> iseq_off;  // offset into iseq_blob; -1 if none
-  std::vector<int32_t> read_id;
-  std::vector<int8_t> eflags;     // bit1 read-start entry, bit2 read-end
-  std::string iseq_blob;
+  Col<int64_t> pos;
+  Col<int8_t> code;
+  Col<int16_t> bq;
+  Col<int16_t> mq;
+  Col<int8_t> hp;
+  Col<int8_t> ikind;
+  Col<int32_t> ilen;
+  Col<int64_t> iseq_off;  // offset into iseq_blob; -1 if none
+  Col<int32_t> read_id;
+  Col<int8_t> eflags;     // bit1 read-start entry, bit2 read-end
+  Col<char> iseq_blob;
   int64_t n_reads = 0;
 };
 
@@ -464,6 +484,45 @@ void feed_record(Decoder& dec, const RawRecord& rr, int excl_flags,
   dec.add_read(name, flag, rr.pos, mapq, cigar, n_cigar, seq4, qual, l_seq, hp);
 }
 
+// Counting pass for the direct-fill path: entry count = sum of M/=/X and D
+// cigar lengths; blob bytes = sum of anchored I lengths (anchor = previous
+// ref-consuming op in this read, reset by N — mirrors add_read's last-wins
+// anchor logic, which appends to the blob for every anchored I).
+void count_record(const RawRecord& rr, int excl_flags, int min_mapq,
+                  int64_t* n_entries, int64_t* blob_len) {
+  const uint8_t* rec = rr.rec.data();
+  uint8_t l_read_name = rec[8];
+  uint8_t mapq = rec[9];
+  uint16_t n_cigar, flag;
+  memcpy(&n_cigar, rec + 12, 2);
+  memcpy(&flag, rec + 14, 2);
+  if (flag & excl_flags) return;
+  if (mapq < min_mapq) return;
+  const uint32_t* cigar = (const uint32_t*)(rec + 32 + l_read_name);
+  bool have_anchor = false;
+  for (int i = 0; i < n_cigar; i++) {
+    int op = cigar[i] & 0xF;
+    int64_t ln = cigar[i] >> 4;
+    if (op == 0 || op == 7 || op == 8 || op == 2) {  // M, =, X, D
+      *n_entries += ln;
+      have_anchor = true;
+    } else if (op == 1) {  // I
+      if (have_anchor) *blob_len += ln;
+    } else if (op == 3) {  // N
+      have_anchor = false;
+    }
+  }
+}
+
+// Pending direct-fill window: records selected by _begin, decoded by _fill.
+// RawRecord pointers into the stream deque stay valid until the next _begin
+// (deque references survive push_back; pops only happen in _begin).
+struct PendingWindow {
+  BamStream* stream;
+  std::vector<const RawRecord*> records;
+  int excl_flags, min_mapq, handle_overlaps;
+};
+
 extern "C" {
 
 // Open a persistent stream over a coordinate-sorted BAM.
@@ -537,6 +596,78 @@ void* pileup_stream_window(void* sh, const char* ctg, int64_t start,
   }
   return table;
 }
+
+// Direct-fill phase A: advance the stream like pileup_stream_window, but
+// only select records and count output sizes.  Returns PendingWindow* (or
+// nullptr on unknown contig); caller allocates buffers of the returned
+// sizes and calls pileup_stream_window_fill.
+void* pileup_stream_window_begin(void* sh, const char* ctg, int64_t start,
+                                 int64_t end, int excl_flags, int min_mapq,
+                                 int handle_overlaps, int64_t* n_entries,
+                                 int64_t* blob_len) {
+  auto* s = (BamStream*)sh;
+  int rid = -1;
+  for (size_t i = 0; i < s->ref_names.size(); i++)
+    if (s->ref_names[i] == ctg) { rid = (int)i; break; }
+  if (rid < 0) return nullptr;
+
+  auto* pw = new PendingWindow{s, {}, excl_flags, min_mapq, handle_overlaps};
+  *n_entries = 0;
+  *blob_len = 0;
+
+  while (!s->buffer.empty() &&
+         (s->buffer.front().ref_id < rid ||
+          (s->buffer.front().ref_id == rid && s->buffer.front().end <= start)))
+    s->buffer.pop_front();
+  for (auto& rr : s->buffer)
+    if (rr.ref_id == rid && rr.pos < end && rr.end > start)
+      pw->records.push_back(&rr);
+  while (!s->eof) {
+    if (!s->buffer.empty() &&
+        (s->buffer.back().ref_id > rid ||
+         (s->buffer.back().ref_id == rid && s->buffer.back().pos >= end)))
+      break;
+    RawRecord rr;
+    if (!decode_one_record(s, &rr)) { s->eof = true; break; }
+    if (rr.ref_id < rid || (rr.ref_id == rid && rr.end <= start)) continue;
+    bool overlaps = rr.ref_id == rid && rr.pos < end && rr.end > start;
+    bool past = rr.ref_id > rid || (rr.ref_id == rid && rr.pos >= end);
+    s->buffer.push_back(std::move(rr));
+    if (overlaps) pw->records.push_back(&s->buffer.back());
+    if (past) break;
+  }
+  for (auto* rr : pw->records)
+    count_record(*rr, excl_flags, min_mapq, n_entries, blob_len);
+  return pw;
+}
+
+// Direct-fill phase B: decode the pending records straight into the caller's
+// buffers (sized from phase A).  Writes the entry count actually produced to
+// *n_used and blob bytes to *blob_used (== phase A counts by construction),
+// returns n_reads.  Frees the PendingWindow.
+int64_t pileup_stream_window_fill(void* pwh, int64_t* pos, int8_t* code,
+                                  int16_t* bq, int16_t* mq, int8_t* hp,
+                                  int8_t* ikind, int32_t* ilen,
+                                  int64_t* iseq_off, char* blob,
+                                  int32_t* read_id, int8_t* eflags,
+                                  int64_t* n_used, int64_t* blob_used) {
+  auto* pw = (PendingWindow*)pwh;
+  EntryTable t;
+  t.pos.ext = pos; t.code.ext = code; t.bq.ext = bq; t.mq.ext = mq;
+  t.hp.ext = hp; t.ikind.ext = ikind; t.ilen.ext = ilen;
+  t.iseq_off.ext = iseq_off; t.read_id.ext = read_id; t.eflags.ext = eflags;
+  t.iseq_blob.ext = blob;
+  Decoder dec(&t, pw->handle_overlaps != 0);
+  for (auto* rr : pw->records)
+    feed_record(dec, *rr, pw->excl_flags, pw->min_mapq);
+  *n_used = (int64_t)t.pos.size();
+  *blob_used = (int64_t)t.iseq_blob.size();
+  int64_t n_reads = t.n_reads;
+  delete pw;
+  return n_reads;
+}
+
+void pileup_stream_window_abort(void* pwh) { delete (PendingWindow*)pwh; }
 
 // Decode reads of `ctg` overlapping [start, end) into an entry table.
 // Returns an opaque handle (EntryTable*), or nullptr on error.
@@ -796,6 +927,64 @@ void entry_candidate_prefilter(
           (del_tot[p] >= support && del_tot[p] / denom >= indel_af))
         cand_mask[p] |= 2;
     }
+  }
+}
+
+// Group entry indices by wanted position (two-phase: count, then fill).
+// `want` is sorted ascending; an int32 lookup table over [want[0],
+// want[npos-1]] gives O(1) per-entry dispatch.  Entry order is preserved
+// within each group (mpileup column order = original entry order).
+// Replaces per-call full-table scans in Python (alt_info_at's per-entry
+// loop and find_candidates' searchsorted+mask chain).
+namespace {
+// k for pos p: lookup table when the want span is small (the per-chunk
+// case), binary search otherwise.
+struct WantIndex {
+  int64_t lo, hi;
+  std::vector<int32_t> slot;     // direct map when span <= kMaxSpan
+  const int64_t* want;
+  int64_t npos;
+  static constexpr int64_t kMaxSpan = 1LL << 27;
+  WantIndex(int64_t n, const int64_t* w) : want(w), npos(n) {
+    lo = w[0];
+    hi = w[n - 1] + 1;
+    if (hi - lo <= kMaxSpan) {
+      slot.assign((size_t)(hi - lo), -1);
+      for (int64_t k = 0; k < n; k++) slot[w[k] - lo] = (int32_t)k;
+    }
+  }
+  inline int64_t find(int64_t p) const {
+    if (p < lo || p >= hi) return -1;
+    if (!slot.empty()) return slot[p - lo];
+    const int64_t* it = std::lower_bound(want, want + npos, p);
+    return (it != want + npos && *it == p) ? it - want : -1;
+  }
+};
+}  // namespace
+
+void entry_group_count(
+    int64_t n, const int64_t* pos,
+    int64_t npos, const int64_t* want, int64_t* counts) {
+  if (npos == 0) return;
+  WantIndex wi(npos, want);
+  for (int64_t k = 0; k < npos; k++) counts[k] = 0;
+  for (int64_t j = 0; j < n; j++) {
+    int64_t k = wi.find(pos[j]);
+    if (k >= 0) counts[k] += 1;
+  }
+}
+
+void entry_group_fill(
+    int64_t n, const int64_t* pos,
+    int64_t npos, const int64_t* want,
+    const int64_t* offsets /* npos group start offsets */,
+    int64_t* out_idx) {
+  if (npos == 0) return;
+  WantIndex wi(npos, want);
+  std::vector<int64_t> cur(offsets, offsets + npos);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t k = wi.find(pos[j]);
+    if (k >= 0) out_idx[cur[k]++] = j;
   }
 }
 

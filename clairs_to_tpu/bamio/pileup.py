@@ -435,12 +435,12 @@ class PileupEngine:
         order = first-encounter order of entries (mpileup column order).
         """
         a = self._finalize()
-        want = set(int(p) for p in positions)
-        per_pos_entries = defaultdict(list)  # pos -> [entry indices in order]
-        for j in range(len(self._pos)):
-            p = self._pos[j]
-            if p in want:
-                per_pos_entries[p].append(j)
+        from clairs_to_tpu.bamio import native
+
+        want = sorted(set(int(p) for p in positions))
+        # one O(n) native pass groups entry indices by position (order
+        # preserved); replaces a per-entry Python loop over the whole table
+        per_pos_entries = native.group_entries_at(a["pos"], want)
         out = {}
         for p in want:
             depth = 0
@@ -621,22 +621,14 @@ class PileupEngine:
             return [], [], {}
 
         # ---- exact gating at prefiltered positions ------------------------
-        # single pass over the table: one searchsorted into the (few)
-        # prefiltered positions, then per-entry view filters on the hits only
+        # one O(n) native pass groups entries by prefiltered position
+        # (entry order preserved); per-entry view filters run on the small
+        # groups only
+        from clairs_to_tpu.bamio import native
+
         pf = np.asarray(prefilter, dtype=np.int64)
-        pp = np.searchsorted(pf, a["pos"])
-        hit = (pp < len(pf)) & (pf[np.minimum(pp, len(pf) - 1)] == a["pos"])
-        hit &= (
-            (a["mq"] >= cfg.MIN_MQ)
-            & (a["bq"] >= min_bq)
-            & (a["code"] != CODE_SKIP)
-        )
-        hit_idx = np.nonzero(hit)[0]
-        order = np.argsort(a["pos"][hit_idx], kind="stable")
-        hit_idx = hit_idx[order]
-        per_pos = defaultdict(list)
-        for j in hit_idx:
-            per_pos[int(a["pos"][j])].append(int(j))
+        per_pos = native.group_entries_at(a["pos"], pf)
+        bq_a, mq_a, code_a = a["bq"], a["mq"], a["code"]
 
         snv_pos, indel_pos = [], []
         infos = {}
@@ -648,6 +640,12 @@ class PileupEngine:
             counter = defaultdict(int)
             order = []
             for j in entries:
+                if (
+                    mq_a[j] < cfg.MIN_MQ
+                    or bq_a[j] < min_bq
+                    or code_a[j] == CODE_SKIP
+                ):
+                    continue
                 key = self._entry_string(j)
                 if key not in counter:
                     order.append(key)
