@@ -183,6 +183,18 @@ class BamStreamReader:
         lib = get_lib()
         self._h = lib.pileup_open_stream(bam_path.encode()) if lib else None
         self._last = None
+        self._pool = []   # recycled arenas (dicts of base arrays)
+
+    def recycle(self, table):
+        """Return a table's backing arrays for reuse by a later window.
+
+        Only call once no views into the table remain (the pipeline calls
+        this from evict_views).  Reuse avoids re-faulting ~2GB of fresh pages
+        per window, which dominates decode cost on this host.
+        """
+        arena = table.get("_arena")
+        if arena is not None and len(self._pool) < 4:
+            self._pool.append(arena)
 
     def close(self):
         if self._h:
@@ -229,40 +241,46 @@ class BamStreamReader:
                 self.bam_path, ctg, start, end, excl_flags, min_mapq, handle_overlaps
             )
         n, blob_cap = n_c.value, bl_c.value
-        pos = np.empty(n, np.int64)
-        code = np.empty(n, np.int8)
-        bq = np.empty(n, np.int16)
-        mq = np.empty(n, np.int16)
-        hp = np.empty(n, np.int8)
-        ikind = np.empty(n, np.int8)
-        ilen = np.empty(n, np.int32)
-        iseq_off = np.empty(n, np.int64)
-        blob = np.empty(blob_cap, np.uint8)
-        read_id = np.empty(n, np.int32)
-        eflags = np.empty(n, np.int8)
+        arena = None
+        for k, cand in enumerate(self._pool):
+            if len(cand["pos"]) >= n and len(cand["blob"]) >= blob_cap:
+                arena = self._pool.pop(k)
+                break
+        if arena is None:
+            cap = int(n * 1.15) + 1024
+            bcap = int(blob_cap * 1.5) + 1024
+            arena = dict(
+                pos=np.empty(cap, np.int64), code=np.empty(cap, np.int8),
+                bq=np.empty(cap, np.int16), mq=np.empty(cap, np.int16),
+                hp=np.empty(cap, np.int8), ikind=np.empty(cap, np.int8),
+                ilen=np.empty(cap, np.int32), iseq_off=np.empty(cap, np.int64),
+                blob=np.empty(bcap, np.uint8), read_id=np.empty(cap, np.int32),
+                eflags=np.empty(cap, np.int8),
+            )
         n_used = ctypes.c_int64(0)
         blob_used = ctypes.c_int64(0)
         p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
         lib.pileup_stream_window_fill(
-            pw, p(pos), p(code), p(bq), p(mq), p(hp), p(ikind), p(ilen),
-            p(iseq_off), p(blob), p(read_id), p(eflags),
+            pw, p(arena["pos"]), p(arena["code"]), p(arena["bq"]),
+            p(arena["mq"]), p(arena["hp"]), p(arena["ikind"]),
+            p(arena["ilen"]), p(arena["iseq_off"]), p(arena["blob"]),
+            p(arena["read_id"]), p(arena["eflags"]),
             ctypes.byref(n_used), ctypes.byref(blob_used),
         )
-        if n_used.value != n:
-            # counting overestimates only for degenerate zero-length CIGAR
-            # ops; trim to the filled prefix
-            sl = slice(0, n_used.value)
-            pos, code, bq, mq = pos[sl], code[sl], bq[sl], mq[sl]
-            hp, ikind, ilen = hp[sl], ikind[sl], ilen[sl]
-            iseq_off, read_id, eflags = iseq_off[sl], read_id[sl], eflags[sl]
-        if blob_used.value != blob_cap:
-            blob = blob[: blob_used.value]
+        nu = n_used.value
+        pos, code, bq, mq = (arena[k][:nu] for k in ("pos", "code", "bq", "mq"))
+        hp, ikind, ilen = (arena[k][:nu] for k in ("hp", "ikind", "ilen"))
+        iseq_off, read_id, eflags = (
+            arena[k][:nu] for k in ("iseq_off", "read_id", "eflags")
+        )
+        blob = arena["blob"][: blob_used.value]
         return dict(
             pos=pos, code=code, bq=bq, mq=mq, hp=hp,
             ikind=ikind, ilen=ilen,
             iseq=LazyIseq(blob, iseq_off, ilen, ikind),
             read_id=read_id, eflags=eflags,
             iseq_off=iseq_off, iseq_blob=blob,
+            _arena=arena,
         )
 
 

@@ -134,6 +134,7 @@ class PileupEngine:
         eng._eflags = table.get("eflags", np.zeros(len(table["pos"]), np.int8))
         eng._iseq_off = table.get("iseq_off")
         eng._iseq_blob = table.get("iseq_blob")
+        eng._table = table   # kept for arena recycling (BamStreamReader)
         return eng
 
     # ------------------------------------------------------------------

@@ -226,7 +226,13 @@ class CallingPipeline:
         return self.fasta.fetch(chunk.ctg_name, pos, pos + 1)
 
     def evict_views(self, chunk):
-        self._views_memo.pop(chunk, None)
+        views = self._views_memo.pop(chunk, None)
+        if views is not None and self._stream is not None:
+            table = getattr(views[0], "_table", None)
+            if table is not None:
+                # all views into the entry table are dropped with the memo;
+                # hand the arena back for the next window's decode
+                self._stream.recycle(table)
 
     def iter_chunks(self, chunks, prefetch_depth=2):
         """Yield (chunk, views) with decode-ahead on a worker thread.
