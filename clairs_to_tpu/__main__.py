@@ -167,6 +167,10 @@ def _train(argv):
     p.add_argument("--n_train", type=int, default=8000)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--dual_view", action="store_true",
+                   help="Train with platform-asymmetric AFF/NEG tensor views "
+                        "(the reference's dual-BQ design).")
+    p.add_argument("--platform", default="ont")
     a = p.parse_args(argv)
     import os
 
@@ -196,20 +200,32 @@ def _train(argv):
     os.makedirs(a.output_dir, exist_ok=True)
     rng = np.random.default_rng(7)
     kw = dict(depth_range=(25, 95), somatic_af_range=(0.08, 0.35), mode=a.mode)
-    x, cov, som = synthesize_batch(rng, a.n_train, **kw)
+    if a.dual_view:
+        from clairs_to_tpu.bench.synth import synthesize_dual_batch
+
+        x, x_neg, cov, _covn, som = synthesize_dual_batch(
+            rng, a.n_train, platform=a.platform, **kw)
+    else:
+        x, cov, som = synthesize_batch(rng, a.n_train, **kw)
+        x_neg = None
     tr = DualTrainer(
         mode=a.mode,
         tc=TrainConfig(batch_size=256, epochs=a.epochs, learning_rate=a.learning_rate),
         cvt_config=tiny_cvt if a.tiny else None,
         bigru_config=tiny_gru if a.tiny else None,
     )
-    tr.fit(x, som, rescale_cov=cov, log_every=10)
+    tr.fit(x, som, rescale_cov=cov, log_every=10, x_neg=x_neg)
     save_checkpoint(os.path.join(a.output_dir, "aff.npz"), tr.params["aff"],
                     arch=asdict(tr.cvt_config))
     save_checkpoint(os.path.join(a.output_dir, "neg.npz"), tr.params["neg"],
                     arch=asdict(tr.bigru_config))
-    xc, covc, somc = synthesize_batch(np.random.default_rng(55), 3000, **kw)
-    pa, pn = tr.predict_probs(xc, rescale_cov=covc)
+    if a.dual_view:
+        xc, xnc, covc, _cn, somc = synthesize_dual_batch(
+            np.random.default_rng(55), 3000, platform=a.platform, **kw)
+        pa, pn = tr.predict_probs(xc, rescale_cov=covc, x_neg=xnc)
+    else:
+        xc, covc, somc = synthesize_batch(np.random.default_rng(55), 3000, **kw)
+        pa, pn = tr.predict_probs(xc, rescale_cov=covc)
     lik = calibrate_likelihood(pa, pn, somc, n_alleles=len(tr.cvt_config.alleles))
     save_likelihood_matrix(os.path.join(a.output_dir, "likelihood_matrix.txt"), lik)
     print(f"[INFO] checkpoints written to {a.output_dir}")

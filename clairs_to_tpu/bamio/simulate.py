@@ -83,8 +83,17 @@ def simulate_reads(
     mapq=60,
     tumor_purity=1.0,
     paired=False,
+    lowbq_rate=0.0,
+    lowbq_qual=10,
+    lowbq_error_mult=10.0,
 ):
-    """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos."""
+    """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos.
+
+    ``lowbq_rate`` > 0 marks that fraction of bases as low-quality
+    (``lowbq_qual``, error rate x ``lowbq_error_mult``) — exercises the
+    AFF/NEG dual-BQ view asymmetry (run_clairs_to:1237 vs :1264): the AFF
+    tensor drops these bases, the NEG tensor sees them.
+    """
     L = len(genome)
     n_reads = int(L * coverage / read_length)
     var_by_pos = {v.pos: v for v in variants}
@@ -126,6 +135,13 @@ def simulate_reads(
                 _extend_cigar(cigar, "D", len(v.ref) - 1)
                 p += len(v.ref)
         seq = list("".join(frag))
+        qual = [base_qual] * len(seq)
+        if lowbq_rate > 0:
+            low_mask = rng.random(len(seq)) < lowbq_rate
+            for i in np.nonzero(low_mask)[0]:
+                qual[int(i)] = lowbq_qual
+                if rng.random() < error_rate * lowbq_error_mult:
+                    seq[int(i)] = rng.choice([b for b in BASES if b != seq[int(i)]])
         # sequencing errors
         n_err = rng.binomial(len(seq), error_rate)
         for _ in range(n_err):
@@ -133,7 +149,6 @@ def simulate_reads(
             seq[i] = rng.choice([b for b in BASES if b != seq[i]])
         seq = "".join(seq)
         flag = 16 if rng.random() < 0.5 else 0
-        qual = [base_qual] * len(seq)
         reads.append((f"read{ridx:06d}", flag, start, cigar, seq, qual))
     reads.sort(key=lambda r: r[2])
     return reads
@@ -232,6 +247,8 @@ def make_dataset(
     ctg="chrS",
     base_qual=30,
     af_choices=(0.1, 0.15, 0.2, 0.3),
+    lowbq_rate=0.0,
+    lowbq_error_mult=10.0,
 ):
     """Write ref.fa(.fai), tumor.bam, truth.vcf under out_dir; return paths.
 
@@ -252,6 +269,7 @@ def make_dataset(
     reads = simulate_reads(
         rng, genome, variants, coverage=coverage, read_length=read_length,
         error_rate=error_rate, tumor_purity=tumor_purity, base_qual=base_qual,
+        lowbq_rate=lowbq_rate, lowbq_error_mult=lowbq_error_mult,
     )
     fasta_path = os.path.join(out_dir, "ref.fa")
     write_fasta(fasta_path, {ctg: genome})

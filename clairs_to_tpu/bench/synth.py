@@ -55,6 +55,206 @@ def _encode_ref(t, col, ref_idx):
     # LMQ/LBQ blocks are zero in this generator; their ref encoding is -0=0.
 
 
+def _fill_column_buckets(
+    t_aff, t_neg, col, ref_idx, depth, rng,
+    alt_idx=None, alt_count=0, artifact_idx=None, artifact_count=0,
+    error_rate=0.002, lowbq_rate=0.12, midbq_rate=0.15, lowmq_rate=0.03,
+    dual=True,
+):
+    """Fill one column of both views with quality-bucketed counts.
+
+    Buckets per base: low-MQ (mq<20 -> LMQ channels both views), then by BQ:
+    hq (>=30), mid ([20,30)), low (<20).  View composition mirrors
+    channel_counts (create_tensor:146-228 semantics):
+      AFF (min_bq=20): main = hq+mid, LBQ = mid, low dropped entirely.
+      NEG (min_bq=0):  main = hq+mid+low, LBQ = mid+low.
+    Error rates rise with falling quality (x1 / x3 / x10); ``artifact``
+    bases are alt-supporting reads that exist ONLY in the low-BQ bucket —
+    the case the dual-view ensemble is designed to reject.
+    """
+    n_lowmq = rng.binomial(depth, lowmq_rate)
+    d = depth - n_lowmq
+    n_low = rng.binomial(d, lowbq_rate)
+    n_mid = rng.binomial(d - n_low, midbq_rate)
+    n_hq = d - n_low - n_mid
+
+    def bucket_counts(nb, err_mult, alt_take):
+        counts = np.zeros(4, np.int64)
+        counts[ref_idx] = nb - alt_take
+        if alt_idx is not None and alt_take:
+            counts[alt_idx] += alt_take
+        n_err = rng.binomial(max(nb, 0), min(error_rate * err_mult, 0.5))
+        for _ in range(n_err):
+            nz = np.nonzero(counts)[0]
+            src = rng.choice(nz) if len(nz) else ref_idx
+            dst = rng.integers(0, 4)
+            if counts[src] > 0 and dst != src:
+                counts[src] -= 1
+                counts[dst] += 1
+        return counts
+
+    # distribute true alt reads across buckets proportionally (capped)
+    takes = np.zeros(3, np.int64)
+    sizes = np.array([n_hq, n_mid, n_low], np.int64)
+    if alt_count and sizes.sum() > 0:
+        takes = rng.multinomial(
+            min(alt_count, int(sizes.sum())), sizes / sizes.sum()
+        )
+        takes = np.minimum(takes, sizes)
+    hq = bucket_counts(n_hq, 1.0, takes[0])
+    mid = bucket_counts(n_mid, 3.0, takes[1])
+    low = bucket_counts(n_low, 10.0, takes[2])
+    if artifact_idx is not None and artifact_count:
+        take = min(artifact_count, low[ref_idx])
+        low[ref_idx] -= take
+        low[artifact_idx] += take
+    lowmq = bucket_counts(n_lowmq, 3.0, 0)
+
+    def split(c):
+        f = rng.binomial(c, 0.5)
+        return f, c - f
+
+    hq_f, hq_r = split(hq)
+    mid_f, mid_r = split(mid)
+    low_f, low_r = split(low)
+    lmq_f, lmq_r = split(lowmq)
+
+    t_aff[col, 0:4] = hq_f + mid_f
+    t_aff[col, 9:13] = hq_r + mid_r
+    t_aff[col, _CH["ALBQ"] : _CH["ALBQ"] + 4] = mid_f
+    t_aff[col, _CH["aLBQ"] : _CH["aLBQ"] + 4] = mid_r
+    t_aff[col, _CH["ALMQ"] : _CH["ALMQ"] + 4] = lmq_f
+    t_aff[col, _CH["aLMQ"] : _CH["aLMQ"] + 4] = lmq_r
+    if dual:
+        t_neg[col, 0:4] = hq_f + mid_f + low_f
+        t_neg[col, 9:13] = hq_r + mid_r + low_r
+        t_neg[col, _CH["ALBQ"] : _CH["ALBQ"] + 4] = mid_f + low_f
+        t_neg[col, _CH["aLBQ"] : _CH["aLBQ"] + 4] = mid_r + low_r
+        t_neg[col, _CH["ALMQ"] : _CH["ALMQ"] + 4] = lmq_f
+        t_neg[col, _CH["aLMQ"] : _CH["aLMQ"] + 4] = lmq_r
+
+
+def _encode_ref_all(t, col, ref_idx):
+    rows = (0, 9, _CH["ALMQ"], _CH["aLMQ"], _CH["ALBQ"], _CH["aLBQ"])
+    for block in rows:
+        s = t[col, block : block + 4].sum()
+        t[col, block + ref_idx] = -s
+
+
+def synthesize_dual_batch(
+    rng,
+    n,
+    platform="ont",
+    depth_range=(25, 95),
+    somatic_af_range=(0.08, 0.35),
+    flank_germline_rate=0.02,
+    error_rate=0.002,
+    class_probs=(0.38, 0.17, 0.05, 0.27, 0.13),
+    mode="snv",
+    beta_subsample=True,
+    lowbq_rate=0.12,
+    midbq_rate=0.15,
+    lowmq_rate=0.03,
+):
+    """Dual-view synthesis: (x_aff, x_neg, cov_aff, cov_neg, som).
+
+    Classes: ref / germline-het / germline-hom / somatic / low-BQ artifact.
+    The artifact class carries alt support only in sub-min_bq bases: visible
+    to the NEG view, absent from the AFF view (the reference's dual-BQ
+    asymmetry, run_clairs_to:1237 vs :1264) — label "not somatic".  For
+    platforms with min_bq=0 (ilmn/hifi) the two views coincide and x_neg is
+    x_aff.
+    """
+    fam = cfg.platform_family(platform)
+    dual = cfg.MIN_BQ_DICT.get(fam, 0) > 0
+    x_aff = np.zeros((n, WIN, cfg.PILEUP_CHANNEL_SIZE), np.float32)
+    x_neg = x_aff if not dual else np.zeros_like(x_aff)
+    cov_aff = np.zeros(n, np.float32)
+    cov_neg = np.zeros(n, np.float32)
+    som = np.full(n, -1, np.int32)
+    classes = rng.choice(len(class_probs), size=n, p=class_probs)
+    kw = dict(error_rate=error_rate, lowbq_rate=lowbq_rate,
+              midbq_rate=midbq_rate, lowmq_rate=lowmq_rate, dual=dual)
+    for i in range(n):
+        ta = np.zeros((WIN, cfg.PILEUP_CHANNEL_SIZE), np.int64)
+        tn = np.zeros_like(ta) if dual else ta
+        if beta_subsample:
+            depth = max(int(depth_range[1] * cfg.beta_subsample_fraction(rng)),
+                        depth_range[0])
+        else:
+            depth = int(rng.integers(*depth_range))
+        ref_indices = rng.integers(0, 4, size=WIN)
+        for col in range(WIN):
+            if col == FLANK:
+                continue
+            d = max(int(rng.normal(depth, depth * 0.06)), 4)
+            if rng.random() < flank_germline_rate:
+                alt = (ref_indices[col] + rng.integers(1, 4)) % 4
+                ac = rng.binomial(d, 0.5)
+                _fill_column_buckets(ta, tn, col, ref_indices[col], d, rng,
+                                     alt_idx=alt, alt_count=ac, **kw)
+            else:
+                _fill_column_buckets(ta, tn, col, ref_indices[col], d, rng, **kw)
+            _encode_ref_all(ta, col, ref_indices[col])
+            if dual:
+                _encode_ref_all(tn, col, ref_indices[col])
+
+        ref_idx = int(ref_indices[FLANK])
+        klass = int(classes[i])
+        alt_idx = (ref_idx + int(rng.integers(1, 4))) % 4
+        indel_kind = None
+        af, artifact_af = 0.0, 0.0
+        if klass == 1:
+            af = float(np.clip(rng.normal(0.5, 0.03), 0.35, 0.65))
+        elif klass == 2:
+            af = float(np.clip(rng.normal(1.0, 0.01), 0.9, 1.0))
+        elif klass == 3:
+            af = float(rng.uniform(*somatic_af_range))
+            if mode == "indel":
+                indel_kind = ("snv", "ins", "del")[int(rng.integers(0, 3))]
+        elif klass == 4:
+            artifact_af = float(rng.uniform(0.05, 0.3))
+        alt_count = rng.binomial(depth, af) if af > 0 else 0
+        artifact_count = rng.binomial(depth, artifact_af) if artifact_af else 0
+
+        if indel_kind in ("ins", "del"):
+            _fill_column_buckets(ta, tn, FLANK, ref_idx, depth - alt_count,
+                                 rng, **kw)
+            fwd_cnt = rng.binomial(alt_count, 0.5)
+            rev_cnt = alt_count - fwd_cnt
+            chans = (("I", "i", "I1", "i1") if indel_kind == "ins"
+                     else ("D", "d", "D1", "d1"))
+            for t in ((ta, tn) if dual else (ta,)):
+                t[FLANK, _CH[chans[0]]] += fwd_cnt
+                t[FLANK, _CH[chans[1]]] += rev_cnt
+                t[FLANK, _CH[chans[2]]] = fwd_cnt
+                t[FLANK, _CH[chans[3]]] = rev_cnt
+                if indel_kind == "del":
+                    dlen = 2
+                    for dcol in range(FLANK + 1, min(FLANK + 1 + dlen, WIN)):
+                        t[dcol, _CH["*"]] += fwd_cnt
+                        t[dcol, _CH["#"]] += rev_cnt
+            if alt_count >= cfg.ALTERNATIVE_BASE_NUM:
+                som[i] = 4 if indel_kind == "ins" else 5
+        else:
+            _fill_column_buckets(
+                ta, tn, FLANK, ref_idx, depth, rng,
+                alt_idx=alt_idx if af > 0 else None, alt_count=alt_count,
+                artifact_idx=alt_idx if artifact_af else None,
+                artifact_count=artifact_count, **kw)
+            if klass == 3 and alt_count >= cfg.ALTERNATIVE_BASE_NUM:
+                som[i] = alt_idx
+        _encode_ref_all(ta, FLANK, ref_idx)
+        if dual:
+            _encode_ref_all(tn, FLANK, ref_idx)
+        x_aff[i] = ta.astype(np.float32)
+        if dual:
+            x_neg[i] = tn.astype(np.float32)
+        cov_aff[i] = depth
+        cov_neg[i] = depth
+    return x_aff, x_neg, cov_aff, cov_neg, som
+
+
 def synthesize_batch(
     rng,
     n,

@@ -79,26 +79,30 @@ class DualTrainer:
         self.opt_state = self.tx.init(self.params)
         self._step = jax.jit(self._step_impl)
 
-    def _loss(self, params, x, aff_labels, neg_labels, rng):
+    def _loss(self, params, x, x_neg, aff_labels, neg_labels, rng):
         dr = self.tc.dropout_rate
         ka, kn = jax.random.split(rng)
         la = cvt.forward(params["aff"], x, self.cvt_config, dropout_rate=dr, rng=ka)
-        ln = bigru.forward(params["neg"], x, self.bigru_config, dropout_rate=dr, rng=kn)
+        ln = bigru.forward(params["neg"], x_neg, self.bigru_config, dropout_rate=dr, rng=kn)
         g = self.tc.focal_gamma
         return focal_ce(la, aff_labels, g) + focal_ce(ln, neg_labels, g)
 
-    def _step_impl(self, params, opt_state, x, aff_labels, neg_labels, rng):
+    def _step_impl(self, params, opt_state, x, x_neg, aff_labels, neg_labels, rng):
         loss, grads = jax.value_and_grad(self._loss)(
-            params, x, aff_labels, neg_labels, rng
+            params, x, x_neg, aff_labels, neg_labels, rng
         )
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     def fit(self, x, somatic_allele, epochs=None, batch_size=None, log_every=0,
-            rescale_cov=None, positive_fraction=0.3):
+            rescale_cov=None, positive_fraction=0.3, x_neg=None):
         """Train on tensors x (N,33,34) with per-site somatic allele index
         (-1 = not somatic).  Returns the loss history.
+
+        ``x_neg`` supplies the negational network's view when it differs
+        from x (the reference's dual-BQ asymmetry: AFF tensors use platform
+        min_bq, NEG tensors min_bq=0 — run_clairs_to:1237 vs :1264).
 
         Candidate sets are extremely imbalanced (somatic sites are rare), so
         batches are class-balanced: ~``positive_fraction`` of each batch is
@@ -116,9 +120,14 @@ class DualTrainer:
             aff_labels[:, k] = (som == k).astype(np.int32)
             neg_labels[:, k] = (som != k).astype(np.int32)
         x = np.asarray(x, np.float32)
+        x_neg = x if x_neg is None else np.asarray(x_neg, np.float32)
         if rescale_cov is not None:
             scale = np.where(rescale_cov > 50, 50.0 / rescale_cov, 1.0).astype(np.float32)
             x = x * scale[:, None, None]
+            if x_neg is not x:
+                x_neg = x_neg * scale[:, None, None]
+            else:
+                x_neg = x
         rng = np.random.default_rng(tc.seed)
         pos_idx = np.where(som >= 0)[0]
         neg_idx = np.where(som < 0)[0]
@@ -142,7 +151,8 @@ class DualTrainer:
                 drop_key, sub = jax.random.split(drop_key)
                 self.params, self.opt_state, loss = self._step(
                     self.params, self.opt_state,
-                    jnp.asarray(x[idx]), jnp.asarray(aff_labels[idx]),
+                    jnp.asarray(x[idx]), jnp.asarray(x_neg[idx]),
+                    jnp.asarray(aff_labels[idx]),
                     jnp.asarray(neg_labels[idx]), sub,
                 )
             history.append(float(loss))
@@ -150,27 +160,32 @@ class DualTrainer:
                 print(f"[train] epoch {ep + 1}/{epochs} loss={float(loss):.4f}")
         return history
 
-    def predict_probs(self, x, rescale_cov=None, batch_size=512):
+    def predict_probs(self, x, rescale_cov=None, batch_size=512, x_neg=None):
         """Class-1 softmax probs from both nets: (p_aff, p_neg), each (N, A)."""
         x = np.asarray(x, np.float32)
+        x_neg = x if x_neg is None else np.asarray(x_neg, np.float32)
         if rescale_cov is not None:
             scale = np.where(rescale_cov > 50, 50.0 / rescale_cov, 1.0).astype(np.float32)
-            x = x * scale[:, None, None]
+            x2 = x * scale[:, None, None]
+            x_neg = x2 if x_neg is x else x_neg * scale[:, None, None]
+            x = x2
 
         @jax.jit
-        def fwd(params, xb):
+        def fwd(params, xb, xnb):
             pa = jax.nn.softmax(cvt.forward(params["aff"], xb, self.cvt_config), axis=-1)
-            pn = jax.nn.softmax(bigru.forward(params["neg"], xb, self.bigru_config), axis=-1)
+            pn = jax.nn.softmax(bigru.forward(params["neg"], xnb, self.bigru_config), axis=-1)
             return pa[..., 1], pn[..., 1]
 
         outs_a, outs_n = [], []
         n = x.shape[0]
         for i in range(0, n, batch_size):
             xb = x[i : i + batch_size]
+            xnb = x_neg[i : i + batch_size]
             if xb.shape[0] < batch_size:
                 pad = batch_size - xb.shape[0]
                 xb = np.pad(xb, [(0, pad), (0, 0), (0, 0)])
-            pa, pn = fwd(self.params, jnp.asarray(xb))
+                xnb = np.pad(xnb, [(0, pad), (0, 0), (0, 0)])
+            pa, pn = fwd(self.params, jnp.asarray(xb), jnp.asarray(xnb))
             outs_a.append(np.asarray(pa))
             outs_n.append(np.asarray(pn))
         p_aff = np.concatenate(outs_a)[:n]
