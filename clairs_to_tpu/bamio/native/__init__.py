@@ -185,6 +185,15 @@ class BamStreamReader:
         self._last = None
         self._pool = []   # recycled arenas (dicts of base arrays)
 
+    # pooled arenas are capped by total bytes so deep-coverage windows
+    # (5Mb @ 60x ~ 9.6GB/arena) cannot accumulate
+    POOL_MAX_BYTES = 24 << 30
+
+    def _pool_bytes(self):
+        return sum(
+            sum(a.nbytes for a in arena.values()) for arena in self._pool
+        )
+
     def recycle(self, table):
         """Return a table's backing arrays for reuse by a later window.
 
@@ -193,7 +202,10 @@ class BamStreamReader:
         per window, which dominates decode cost on this host.
         """
         arena = table.get("_arena")
-        if arena is not None and len(self._pool) < 4:
+        if arena is None or len(self._pool) >= 4:
+            return
+        arena_bytes = sum(a.nbytes for a in arena.values())
+        if self._pool_bytes() + arena_bytes <= self.POOL_MAX_BYTES:
             self._pool.append(arena)
 
     def close(self):

@@ -75,6 +75,21 @@ def build_parser():
     adv.add_argument("--disable_verdict", action="store_true")
     adv.add_argument("--qual_cutoff_phaseable_region", type=float, default=None)
     adv.add_argument("--qual_cutoff_unphaseable_region", type=float, default=None)
+    adv.add_argument("--qual_indel_cutoff_phaseable_region", type=float, default=None)
+    adv.add_argument("--qual_indel_cutoff_unphaseable_region", type=float, default=None)
+    adv.add_argument("--phase_tumor", type=str, default=None,
+                     help="Phase+haplotag the tumor for haplotype filtering "
+                          "(default: true for long reads, false for ilmn; "
+                          "run_clairs_to:960-973).")
+    adv.add_argument("--chunk_num", type=int, default=None,
+                     help="Chunks per contig (overrides --chunk_size; "
+                          "run_clairs_to:557).")
+    adv.add_argument("--disable_read_start_end_filtering", action="store_true",
+                     help="Skip the read-start/end hard filter verdict.")
+    adv.add_argument("--cna_resource_dir", default=None,
+                     help="Verdict CNA resource dir (G1000 loci/GC/RT "
+                          "tracks). Without it, het-like calls serve as "
+                          "loci.")
     adv.add_argument("--device_batch", type=int, default=cfg.TPU_DEVICE_BATCH)
     adv.add_argument("--dry_run", action="store_true")
     adv.add_argument("--remove_intermediate_dir", action="store_true")
@@ -105,11 +120,27 @@ def build_parser():
     adv.add_argument("--trace_dir", default=None,
                      help="Write a JAX profiler trace of the device loop here.")
 
+    p.add_argument("-v", "--version", action="version",
+                   version=f"clairs_to_tpu {cfg.VERSION} "
+                           f"(ClairS-TO {cfg.REFERENCE_VERSION} compatible)")
+
     compat = p.add_argument_group("Compatibility (accepted, unused)")
     for flag in ("--samtools", "--pypy", "--python", "--parallel", "--whatshap",
-                 "--longphase", "--conda_prefix"):
+                 "--longphase", "--conda_prefix", "--tee", "--cmdline",
+                 "--output_path", "--chunk_list", "--allele_counter_dir",
+                 "--bam_mplp_set_maxcnt", "--haplotype_chunk_max_sites",
+                 "--haplotype_chunk_max_span", "--haplotype_chunk_mpileup_bed",
+                 "--haplotype_filtering_chunk_mode",
+                 "--haplotype_input_filter_tag",
+                 "--postfilter_variants_chunk_mode",
+                 "--use_longphase_for_intermediate_phasing",
+                 "--use_whatshap_for_intermediate_phasing",
+                 "--use_longphase_for_intermediate_haplotagging"):
         compat.add_argument(flag, default=None, help=argparse.SUPPRESS)
-    compat.add_argument("--use_gpu", action="store_true", help=argparse.SUPPRESS)
+    for flag in ("--use_gpu", "--debug", "--prefer_recall", "--prefer_balance"):
+        # --prefer_recall/--prefer_balance are parsed-but-unused in the
+        # reference too (run_clairs_to:2379-2389, postprocess_vcf.py:254)
+        compat.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -181,8 +212,23 @@ def load_engines(args, mesh=None):
 
 
 def default_qual(args):
+    """Qual-cutoff defaulting incl. the --qual supersede rule
+    (run_clairs_to:920-956): an explicit --qual overrides qual_indel and all
+    four phaseable/unphaseable cutoffs."""
     fam = cfg.platform_family(args.platform)
-    snv_q = args.qual if args.qual is not None else cfg.MIN_THRED_QUAL.get(fam, 8)
+    if args.qual is not None:
+        if (args.qual_cutoff_phaseable_region is not None
+                or args.qual_cutoff_unphaseable_region is not None):
+            print("[WARNING] `--qual` will supersede "
+                  "`--qual_cutoff_phaseable_region` and "
+                  "`--qual_cutoff_unphaseable_region`.")
+        args.qual_cutoff_phaseable_region = args.qual
+        args.qual_cutoff_unphaseable_region = args.qual
+        args.qual_indel = args.qual
+        args.qual_indel_cutoff_phaseable_region = args.qual
+        args.qual_indel_cutoff_unphaseable_region = args.qual
+        return args.qual, args.qual
+    snv_q = cfg.MIN_THRED_QUAL.get(fam, 8)
     indel_q = (
         args.qual_indel
         if args.qual_indel is not None
@@ -220,6 +266,7 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
         engine = HaplotypeFilterEngine(
             pe,
             hetero_germline=[(p, a) for (p, _r, a) in het_sites],
+            disable_read_start_end_filtering=args.disable_read_start_end_filtering,
         )
         verdicts = {}
         for row in pass_rows:
@@ -233,7 +280,10 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             apply_hard_filters,
         )
 
-        engine = HardFilterEngine(pe)
+        engine = HardFilterEngine(
+            pe,
+            disable_read_start_end_filtering=args.disable_read_start_end_filtering,
+        )
         verdicts = {}
         for row in pass_rows:
             verdicts[(row["CHROM"], row["POS"])] = engine.verdict(
@@ -242,12 +292,67 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
         apply_hard_filters(res.snv_rows, verdicts)
 
 
-def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
+def _load_verdict_resources(args, chunks):
+    """(resource_loci, gc_lookup, rt_lookup) from --cna_resource_dir."""
+    if not (args.cna_resource_dir and os.path.isdir(args.cna_resource_dir)):
+        return None, None, None
+    from clairs_to_tpu.verdict.resources import load_cna_resources
+
+    ctgs_present = sorted({c.ctg_name for c in chunks})
+    loci, gc_lookup, rt_lookup = load_cna_resources(
+        args.cna_resource_dir, ctgs_present
+    )
+    if loci:
+        print(f"[INFO] Verdict: G1000 loci from {args.cna_resource_dir} "
+              f"({sum(len(v[0]) for v in loci.values())} loci, "
+              f"GC={'yes' if gc_lookup else 'no'} "
+              f"RT={'yes' if rt_lookup else 'no'})")
+    return loci or None, gc_lookup, rt_lookup
+
+
+def _accumulate_verdict_counts(pipe, chunk, res, resource_loci, acc):
+    """Count verdict alleles at this chunk's loci while its views are live.
+
+    The in-process analog of the reference's per-contig alleleCounter pass
+    (src/cna_germline_tagging.py:56-69): resource loci when provided, else
+    het-like calls (0/1 single-base, AF in [0.3, 0.7]) from this chunk.
+    """
+    from clairs_to_tpu.verdict.allele_counter import allele_counts_at
+
+    ctg = chunk.ctg_name
+    if resource_loci is not None:
+        if ctg not in resource_loci:
+            return
+        pos_all, ref_idx_all, alt_idx_all = resource_loci[ctg]
+        m = (pos_all >= chunk.ctg_start) & (pos_all < chunk.ctg_end)
+        if not m.any():
+            return
+        positions, ref_idx, alt_idx = pos_all[m], ref_idx_all[m], alt_idx_all[m]
+    else:
+        het = [
+            r for r in res.snv_rows
+            if r["GT"] == "0/1" and len(r["REF"]) == 1 and len(r["ALT"]) == 1
+            and 0.3 <= r["AF"] <= 0.7
+        ]
+        if not het:
+            return
+        positions = np.array([r["POS"] - 1 for r in het])
+        ref_idx = np.array(["ACGT".index(r["REF"]) for r in het])
+        alt_idx = np.array(["ACGT".index(r["ALT"]) for r in het])
+    pe, *_ = pipe.build_chunk_views(chunk)
+    counts = allele_counts_at(pe, positions)
+    rows_i = np.arange(len(positions))
+    entry = acc.setdefault(ctg, {"pos": [], "refc": [], "altc": []})
+    entry["pos"].append(positions)
+    entry["refc"].append(counts[rows_i, ref_idx])
+    entry["altc"].append(counts[rows_i, alt_idx])
+
+
+def _run_verdict_stage(args, verdict_acc, snv_vcf_path, gc_lookup, rt_lookup):
     """Verdict (CNA/purity germline separation) on the final SNV VCF.
 
-    The reference runs against the downloadable G1000 loci resource
-    (src/cna_germline_tagging.py:56-69); without it, the het-like calls from
-    the VCF itself (0/1, AF in [0.3,0.7]) serve as loci — enough to
+    Consumes allele counts accumulated during the chunk loop; without a
+    --cna_resource_dir the het-like calls served as loci — enough to
     estimate purity/ploidy when the genome carries CNA signal.
     """
     from clairs_to_tpu.verdict.pipeline import run_verdict
@@ -271,36 +376,24 @@ def _run_verdict_stage(args, pipe, chunks, snv_vcf_path):
                     _cols=cols,
                 )
             )
-    loci = {}
-    engines = {}
-    het_rows = [
-        r for r in rows
-        if len(r["REF"]) == 1 and len(r["ALT"]) == 1 and 0.3 <= r["AF"] <= 0.7
-    ]
-    if len(het_rows) < 12:
-        print("[INFO] Verdict skipped: too few het-like loci")
-        return
-    by_ctg = {}
-    for r in het_rows:
-        by_ctg.setdefault(r["CHROM"], []).append(r)
-    import numpy as np
-
-    for ctg, ctg_rows in by_ctg.items():
-        positions = np.array([r["POS"] - 1 for r in ctg_rows])
-        ref_idx = np.array(["ACGT".index(r["REF"]) for r in ctg_rows])
-        alt_idx = np.array(["ACGT".index(r["ALT"]) for r in ctg_rows])
-        loci[ctg] = (positions, ref_idx, alt_idx)
-        ctg_chunks = [c for c in chunks if c.ctg_name == ctg]
-        if not ctg_chunks:
-            continue
-        pe, *_ = pipe.build_chunk_views(ctg_chunks[0])
-        engines[ctg] = pe
-    loci = {c: l for c, l in loci.items() if c in engines}
-    if not loci:
+    counts_by_ctg = {
+        ctg: (
+            np.concatenate(e["pos"]),
+            np.concatenate(e["refc"]),
+            np.concatenate(e["altc"]),
+        )
+        for ctg, e in verdict_acc.items()
+        if e["pos"]
+    }
+    n_loci = sum(len(v[0]) for v in counts_by_ctg.values())
+    if n_loci < 12:
+        print("[INFO] Verdict skipped: too few usable loci")
         return
     cna_dir = os.path.join(args.output_dir, "tmp", "cna_output")
-    result = run_verdict(engines, loci, rows, cna_output_dir=cna_dir,
-                         sample_name=args.sample_name)
+    result = run_verdict(None, None, rows, cna_output_dir=cna_dir,
+                         sample_name=args.sample_name,
+                         gc_lookup=gc_lookup, rt_lookup=rt_lookup,
+                         counts_by_ctg=counts_by_ctg)
     if result.applied and result.n_tagged:
         with open(snv_vcf_path, "w") as out:
             out.writelines(header)
@@ -397,7 +490,7 @@ def _pipeline_body(args, metrics, t0, tee):
         args.resume = True
     chunks = plan_chunks(
         fasta, ctg_names=ctg_names, chunk_size=args.chunk_size,
-        include_all_ctgs=args.include_all_ctgs,
+        include_all_ctgs=args.include_all_ctgs, chunk_num=args.chunk_num,
     )
     if region:
         chunks = [
@@ -457,10 +550,29 @@ def _pipeline_body(args, metrics, t0, tee):
         output_alt_info=_str2bool(args.output_alt_info),
     )
     fam = cfg.platform_family(args.platform)
+    # --phase_tumor defaulting (run_clairs_to:960-973): explicit value wins;
+    # genotyping mode disables phasing by default; ilmn never phases
+    phase_tumor = (
+        _str2bool(args.phase_tumor) if args.phase_tumor is not None else None
+    )
+    if args.disable_intermediate_phasing:
+        phase_tumor = False
+    if phase_tumor is None:
+        if args.genotyping_mode_vcf_fn is not None:
+            print("[WARNING] HET SNPs based phasing is disabled if "
+                  "`--genotyping_mode_vcf_fn` is provided, add "
+                  "`--phase_tumor True` if phasing the tumor is still needed.")
+            phase_tumor = False
+        else:
+            phase_tumor = fam != "ilmn"
+    if fam == "ilmn" and phase_tumor:
+        print("[WARNING] Intermediate phasing/haplotagging is not used for "
+              "Illumina (ilmn) platform; ignoring --phase_tumor.")
+        phase_tumor = False
     apply_hap_filter = (
         _str2bool(args.apply_haplotype_filtering)
         if args.apply_haplotype_filtering is not None
-        else (fam != "ilmn" and not args.disable_intermediate_phasing)
+        else phase_tumor
     )
     apply_postfilter = (
         _str2bool(args.enable_postfilter)
@@ -479,6 +591,11 @@ def _pipeline_body(args, metrics, t0, tee):
 
     snv_paths, indel_paths = [], []
     n_cand = 0
+    verdict_acc = {}
+    resource_loci, gc_lookup, rt_lookup = (
+        _load_verdict_resources(args, chunks)
+        if not args.disable_verdict else (None, None, None)
+    )
     _calling_stage = metrics.stage("calling")
     _calling_stage.__enter__()
     _trace = device_trace(args.trace_dir)
@@ -535,6 +652,8 @@ def _pipeline_body(args, metrics, t0, tee):
         metrics.count("candidates", res.n_candidates)
         metrics.count("snv_rows", len(res.snv_rows))
         metrics.count("indel_rows", len(res.indel_rows))
+        if not args.disable_verdict:
+            _accumulate_verdict_counts(pipe, ch, res, resource_loci, verdict_acc)
         pipe.evict_views(ch)
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
@@ -584,7 +703,7 @@ def _pipeline_body(args, metrics, t0, tee):
 
     if not args.disable_verdict:
         with metrics.stage("verdict"):
-            _run_verdict_stage(args, pipe, chunks, snv_final)
+            _run_verdict_stage(args, verdict_acc, snv_final, gc_lookup, rt_lookup)
 
     from clairs_to_tpu.vcf.tabix import write_tabix_vcf
 
@@ -597,6 +716,8 @@ def _pipeline_body(args, metrics, t0, tee):
         postprocess_vcf(
             indel_merged, indel_final, platform=args.platform, ref_fn=args.ref_fn,
             sample_name=args.sample_name, qual=args.qual_indel, is_indel=True,
+            qual_cutoff_phaseable_region=args.qual_indel_cutoff_phaseable_region,
+            qual_cutoff_unphaseable_region=args.qual_indel_cutoff_unphaseable_region,
         )
         write_tabix_vcf(indel_final)
         print(f"[INFO] Indel output: {indel_final}")

@@ -52,11 +52,13 @@ def plan_chunks(
     ctg_names: Optional[List[str]] = None,
     chunk_size: int = 5_000_000,
     include_all_ctgs: bool = False,
+    chunk_num: Optional[int] = None,
 ) -> List[Chunk]:
     """Build the full chunk work list from a FastaFile.
 
     By default restricts to the major human contigs (run_clairs_to:387-470);
-    ``include_all_ctgs`` lifts that.
+    ``include_all_ctgs`` lifts that.  ``chunk_num`` forces that many chunks
+    per contig instead of fixed-size chunks (run_clairs_to:557).
     """
     if ctg_names is None:
         ctg_names = [
@@ -68,5 +70,9 @@ def plan_chunks(
             ctg_names = list(fasta.contig_order)
     plan = []
     for ctg in ctg_names:
-        plan.extend(chunk_contig(ctg, fasta.contig_length(ctg), chunk_size))
+        length = fasta.contig_length(ctg)
+        size = chunk_size
+        if chunk_num is not None and chunk_num > 0:
+            size = max((length + chunk_num - 1) // chunk_num, 1)
+        plan.extend(chunk_contig(ctg, length, size))
     return plan

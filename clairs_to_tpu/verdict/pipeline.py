@@ -73,18 +73,31 @@ def run_verdict(
     penalty=100,
     gc_content=None,
     replication_timing=None,
+    gc_lookup=None,        # {(ctg, pos0): row} — aligned internally to kept loci
+    rt_lookup=None,
+    counts_by_ctg=None,    # {ctg: (positions0, ref_counts, alt_counts)}:
+                           # allele counts accumulated during the chunk loop
+                           # (supersedes pileup_engines/loci)
     rng=None,
     cna_output_dir=None,
     sample_name="SAMPLE",
 ) -> VerdictResult:
     rng = rng or np.random.default_rng(0)
     all_logr, all_baf, all_chrom, all_pos = [], [], [], []
-    ctg_order = sorted(loci.keys())
+    ctg_order = sorted(
+        counts_by_ctg.keys() if counts_by_ctg is not None else loci.keys()
+    )
     for ci, ctg in enumerate(ctg_order):
-        positions, ref_idx, alt_idx = loci[ctg]
-        counts = allele_counts_at(pileup_engines[ctg], positions)
-        ref_counts = counts[np.arange(len(positions)), ref_idx]
-        alt_counts = counts[np.arange(len(positions)), alt_idx]
+        if counts_by_ctg is not None:
+            # counts accumulated during the main chunk loop (the in-process
+            # analog of the reference's per-contig alleleCounter pass,
+            # src/cna_germline_tagging.py:56-69)
+            positions, ref_counts, alt_counts = counts_by_ctg[ctg]
+        else:
+            positions, ref_idx, alt_idx = loci[ctg]
+            counts = allele_counts_at(pileup_engines[ctg], positions)
+            ref_counts = counts[np.arange(len(positions)), ref_idx]
+            alt_counts = counts[np.arange(len(positions)), alt_idx]
         lr, baf, keep = logr_baf(ref_counts, alt_counts, rng=rng)
         kept_pos = np.asarray(positions)[keep]
         all_logr.append(lr)
@@ -99,6 +112,19 @@ def run_verdict(
     chrom = np.concatenate(all_chrom)
     pos = np.concatenate(all_pos)
 
+    if gc_lookup is not None and rt_lookup is not None:
+        # align track rows to the kept loci; drop loci without both tracks
+        keys = [(ctg_order[int(c)], int(p)) for c, p in zip(chrom, pos)]
+        have = np.array(
+            [k in gc_lookup and k in rt_lookup for k in keys], dtype=bool
+        )
+        if have.sum() >= 12:
+            logr, baf = logr[have], baf[have]
+            chrom, pos = chrom[have], pos[have]
+            gc_content = np.stack([gc_lookup[k] for k, h in zip(keys, have) if h])
+            replication_timing = np.stack(
+                [rt_lookup[k] for k, h in zip(keys, have) if h]
+            )
     if gc_content is not None and replication_timing is not None:
         logr = correct_logr(logr, gc_content, replication_timing)
 

@@ -103,3 +103,27 @@ def test_cli_alt_fn_and_skip_steps(dataset, tmp_path):
     with pytest.raises(SystemExit):
         cli_main(argv + ["--skip_steps", "0,x"])
     assert cli_main(argv + ["--skip_steps", "1,2"]) == 0
+
+
+def test_cli_accepts_all_reference_flags():
+    """Every --flag in the reference driver parses here (values may be
+    no-ops; run_clairs_to:1903-2467 surface parity)."""
+    import re
+
+    from clairs_to_tpu.cli.run import build_parser
+
+    ref_path = "/root/reference/run_clairs_to"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference not mounted")
+    ref_flags = sorted(set(re.findall(r'"(--[a-z_]+)"', open(ref_path).read())))
+    p = build_parser()
+    ours = {s for a in p._actions for s in a.option_strings}
+    missing = [f for f in ref_flags if f not in ours]
+    assert not missing, missing
+
+
+def test_cli_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli_main(["--version"])
+    assert e.value.code == 0
+    assert "clairs_to_tpu" in capsys.readouterr().out
