@@ -120,3 +120,29 @@ def test_region_subset(dataset):
     cb, db = nat.channel_counts(0, 10_000, 20_000)
     np.testing.assert_array_equal(ca, cb)
     np.testing.assert_array_equal(da, db)
+
+
+def test_group_entries_at_native_matches_numpy_fallback():
+    import numpy as np
+
+    from clairs_to_tpu.bamio import native
+
+    rng = np.random.default_rng(0)
+    pos = rng.integers(0, 500, size=20000).astype(np.int64)
+    want = np.unique(rng.integers(0, 500, size=40).astype(np.int64))
+    got_native = native.group_entries_at(pos, want)
+    # force the numpy fallback
+    lib = native._lib
+    native._lib = None
+    native._load_error = RuntimeError("forced")
+    try:
+        got_np = native.group_entries_at(pos, want)
+    finally:
+        native._lib = lib
+        native._load_error = None
+    assert set(got_native) == set(got_np) == {int(p) for p in want}
+    for p in want:
+        a, b = got_native[int(p)], got_np[int(p)]
+        assert np.array_equal(a, b), (p, a[:5], b[:5])
+        # order preserved = ascending entry indices
+        assert np.all(np.diff(a) > 0) or len(a) <= 1
