@@ -34,6 +34,7 @@ def main():
     from clairs_to_tpu.ops import posterior as post
 
     batch = 2048
+    use_pallas = jax.default_backend() == "tpu"
     aff_params = cvt.init(jax.random.PRNGKey(0))
     neg_params = bigru.init(jax.random.PRNGKey(1))
     lik = post.uniform_likelihood_data(4)
@@ -47,7 +48,9 @@ def main():
         xa = x_aff * scale[:, None, None]
         xn = x_neg * scale[:, None, None]
         pa = jax.nn.softmax(cvt.forward(aff_p, xa), axis=-1)[..., 1]
-        pn = jax.nn.softmax(bigru.forward(neg_p, xn), axis=-1)[..., 1]
+        pn = jax.nn.softmax(
+            bigru.forward(neg_p, xn, use_pallas=use_pallas), axis=-1
+        )[..., 1]
         posterior = post.posterior_probs_jnp(pa, pn, lik_mat, aff_edges, neg_edges)
         best = jnp.argmax(posterior, axis=1)
         qual = post.quality_score_jnp(jnp.max(posterior, axis=1))

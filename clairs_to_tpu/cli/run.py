@@ -91,6 +91,12 @@ def build_parser():
                           "tracks). Without it, het-like calls serve as "
                           "loci.")
     adv.add_argument("--device_batch", type=int, default=cfg.TPU_DEVICE_BATCH)
+    adv.add_argument(
+        "--matmul_precision", default="highest", choices=["highest", "default"],
+        help="TPU MXU precision for the dual-network forward: 'highest' is "
+             "fp32-exact (torch-reference parity); 'default' is single-pass "
+             "bf16-input matmuls — faster, decisions still calibrated by the "
+             "f64 host posterior.")
     adv.add_argument("--dry_run", action="store_true")
     adv.add_argument("--remove_intermediate_dir", action="store_true")
     adv.add_argument("--resume", action="store_true",
@@ -202,6 +208,7 @@ def load_engines(args, mesh=None):
         return InferenceEngine(
             aff, neg, lik, mode=mode, device_batch=args.device_batch, mesh=mesh,
             cvt_config=cvt_cfg, bigru_config=gru_cfg,
+            matmul_precision=getattr(args, "matmul_precision", "highest"),
         )
 
     snv_engine = build("snv")

@@ -93,6 +93,8 @@ class InferenceEngine:
         mesh: Optional[Mesh] = None,
         cvt_config=None,
         bigru_config=None,
+        use_pallas: Optional[bool] = None,
+        matmul_precision: str = "highest",
     ):
         assert mode in ("snv", "indel")
         self.mode = mode
@@ -105,6 +107,15 @@ class InferenceEngine:
         self.n_alleles = len(self.cvt_config.alleles)
         self.device_batch = device_batch
         self.min_rescale_cov = min_rescale_cov
+        # fused VMEM-resident GRU recurrence (ops/gru_pallas.py): 1.31x over
+        # lax.scan on the v5e; auto-on when the default backend is a TPU
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        # "highest": fp32-exact MXU passes, numerical parity with the torch
+        # reference; "default": single-pass bf16-input MXU — ~same decisions
+        # (posterior digitizes into 10 coarse bins), much faster on TPU
+        self.matmul_precision = matmul_precision
         self.likelihood = likelihood
         self.mesh = mesh
 
@@ -127,12 +138,14 @@ class InferenceEngine:
 
     # ---- device programs ------------------------------------------------
     def _net_probs(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
-        x_aff = _rescale(x_aff.astype(jnp.float32), cov_aff, self.min_rescale_cov)
-        x_neg = _rescale(x_neg.astype(jnp.float32), cov_neg, self.min_rescale_cov)
-        logits_aff = cvt.forward(aff_params, x_aff, self.cvt_config)
-        logits_neg = bigru.forward(neg_params, x_neg, self.bigru_config)
-        probs_aff = jax.nn.softmax(logits_aff, axis=-1)
-        probs_neg = jax.nn.softmax(logits_neg, axis=-1)
+        with jax.default_matmul_precision(self.matmul_precision):
+            x_aff = _rescale(x_aff.astype(jnp.float32), cov_aff, self.min_rescale_cov)
+            x_neg = _rescale(x_neg.astype(jnp.float32), cov_neg, self.min_rescale_cov)
+            logits_aff = cvt.forward(aff_params, x_aff, self.cvt_config)
+            logits_neg = bigru.forward(neg_params, x_neg, self.bigru_config,
+                                       use_pallas=self.use_pallas)
+            probs_aff = jax.nn.softmax(logits_aff, axis=-1)
+            probs_neg = jax.nn.softmax(logits_neg, axis=-1)
         return probs_aff, probs_neg
 
     def _forward_impl(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):

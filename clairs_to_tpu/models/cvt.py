@@ -63,10 +63,12 @@ INDEL_CVT_CONFIG = CvTConfig(
 
 _DN = ("NCHW", "OIHW", "NCHW")
 
-# The networks are ~4M params on 33x34 inputs: fp32-exact MXU passes cost
-# nothing at this scale and keep numerical parity with the torch reference
-# even on TPU (where default fp32 matmul precision is reduced).
-PRECISION = lax.Precision.HIGHEST
+# Matmul precision is context-controlled (jax.default_matmul_precision):
+# the engine's exact path traces under "highest" for numerical parity with
+# the torch reference even on TPU; the serving/bench path uses the backend
+# default (single-pass bf16-input MXU with f32 accumulation).  Leaving the
+# per-op precision at None lets the caller's context decide.
+PRECISION = None
 
 
 def _conv2d(x, w, b=None, stride=(1, 1), padding=(0, 0), groups=1):
