@@ -86,6 +86,7 @@ def simulate_reads(
     lowbq_rate=0.0,
     lowbq_qual=10,
     lowbq_error_mult=10.0,
+    somatic_hap_aware=False,
 ):
     """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos.
 
@@ -93,10 +94,22 @@ def simulate_reads(
     (``lowbq_qual``, error rate x ``lowbq_error_mult``) — exercises the
     AFF/NEG dual-BQ view asymmetry (run_clairs_to:1237 vs :1264): the AFF
     tensor drops these bases, the NEG tensor sees them.
+
+    ``somatic_hap_aware`` places each somatic variant on ONE haplotype (as
+    real somatic mutations are): only reads of that haplotype can carry it,
+    with per-read probability min(2*af, 1) so the marginal AF is preserved.
+    Off by default (legacy behavior: per-read iid at ``af``); required for
+    the long-read haplotype verdicts (MultiHap, NoAncestry — reference
+    src/haplotype_filtering.py:375-468) to see realistic co-segregation.
     """
     L = len(genome)
     n_reads = int(L * coverage / read_length)
     var_by_pos = {v.pos: v for v in variants}
+    som_hap = {}
+    if somatic_hap_aware:
+        for v in variants:
+            if not v.germline:
+                som_hap[v.pos] = int(rng.integers(0, 2))
     reads = []
     for ridx in range(n_reads):
         start = int(rng.integers(0, max(L - read_length, 1)))
@@ -115,7 +128,11 @@ def simulate_reads(
                 if v.germline:
                     take = hap == 0  # het on hap0
                 elif is_tumor_read:
-                    take = rng.random() < v.af
+                    if somatic_hap_aware:
+                        take = (hap == som_hap[v.pos]
+                                and rng.random() < min(2.0 * v.af, 1.0))
+                    else:
+                        take = rng.random() < v.af
             if v is None or not take:
                 frag.append(genome[p])
                 _extend_cigar(cigar, "M", 1)
@@ -249,6 +266,7 @@ def make_dataset(
     af_choices=(0.1, 0.15, 0.2, 0.3),
     lowbq_rate=0.0,
     lowbq_error_mult=10.0,
+    somatic_hap_aware=False,
 ):
     """Write ref.fa(.fai), tumor.bam, truth.vcf under out_dir; return paths.
 
@@ -270,6 +288,7 @@ def make_dataset(
         rng, genome, variants, coverage=coverage, read_length=read_length,
         error_rate=error_rate, tumor_purity=tumor_purity, base_qual=base_qual,
         lowbq_rate=lowbq_rate, lowbq_error_mult=lowbq_error_mult,
+        somatic_hap_aware=somatic_hap_aware,
     )
     fasta_path = os.path.join(out_dir, "ref.fa")
     write_fasta(fasta_path, {ctg: genome})

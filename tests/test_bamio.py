@@ -229,3 +229,41 @@ def test_simulated_dataset_candidates(tmp_path):
     # false candidates should be rare at 0.2% error
     extra = found - truth - germline
     assert len(extra) <= 3
+
+
+def test_somatic_hap_aware_cosegregation():
+    """somatic_hap_aware=True places each somatic variant on ONE haplotype:
+    carrier reads must agree on every co-covered germline het site."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    genome = simulate.random_genome(rng, 20_000)
+    variants = simulate.plan_variants(rng, genome, n_snv=6, n_germline=20,
+                                      af_choices=(0.2, 0.3), margin=300,
+                                      min_gap=60)
+    reads = simulate.simulate_reads(rng, genome, variants, coverage=60,
+                                    read_length=800, error_rate=0.0,
+                                    somatic_hap_aware=True)
+    germ = {v.pos: v for v in variants if v.germline}
+    som = [v for v in variants if not v.germline]
+    n_checked = 0
+    for v in som:
+        # base observed at a germline-het position, per carrier read
+        het_obs = {}
+        n_carriers = 0
+        for (_name, _flag, start, cigar, seq, _q) in reads:
+            assert len(cigar) == 1 and cigar[0][0] == "M"
+            end = start + cigar[0][1]
+            if not (start <= v.pos < end) or seq[v.pos - start] != v.alt:
+                continue
+            n_carriers += 1
+            for gp in germ:
+                if start <= gp < end:
+                    het_obs.setdefault(gp, set()).add(seq[gp - start])
+        assert n_carriers > 0, f"somatic at {v.pos} has no carriers"
+        for gp, bases in het_obs.items():
+            assert len(bases) == 1, (
+                f"somatic {v.pos} carriers disagree at germline het {gp}: "
+                f"{bases} — variant spans haplotypes")
+            n_checked += 1
+    assert n_checked >= 3  # the check actually exercised co-covered hets
