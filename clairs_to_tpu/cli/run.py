@@ -154,6 +154,22 @@ def _str2bool(v):
     return str(v).lower() in ("1", "true", "yes", "t")
 
 
+def default_model_dir(platform):
+    """Per-platform default model resolution, the analog of the reference's
+    model-path defaulting (run_clairs_to:612-819): prefer the committed
+    assets/flagship_<family>_snv bundle, fall back to the ONT flagship
+    (cross-platform), None when no assets ship."""
+    assets = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir,
+        "assets"))
+    fam = cfg.platform_family(platform)
+    for name in (f"flagship_{fam}_snv", "flagship_ont_snv"):
+        p = os.path.join(assets, name)
+        if os.path.isdir(p):
+            return p
+    return None
+
+
 def load_engines(args, mesh=None):
     """Load trained checkpoints + likelihood matrices into engines."""
     import jax
@@ -166,6 +182,12 @@ def load_engines(args, mesh=None):
     from clairs_to_tpu.models import cvt, bigru
     from clairs_to_tpu.ops.posterior import load_likelihood_matrix, uniform_likelihood_data
     from clairs_to_tpu.train import load_checkpoint_auto
+
+    if not args.model_dir and not (args.snv_pileup_affirmative_model_path
+                                   or args.snv_pileup_negational_model_path):
+        args.model_dir = default_model_dir(args.platform)
+        if args.model_dir:
+            print(f"[INFO] Using default model assets: {args.model_dir}")
 
     def resolve(explicit, sub):
         if explicit:

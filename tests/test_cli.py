@@ -127,3 +127,17 @@ def test_cli_version(capsys):
         cli_main(["--version"])
     assert e.value.code == 0
     assert "clairs_to_tpu" in capsys.readouterr().out
+
+
+def test_default_model_dir_resolution():
+    """Without --model_dir the CLI resolves the committed flagship assets
+    per platform family (reference run_clairs_to:612-819 analog)."""
+    import os
+    from clairs_to_tpu.cli.run import default_model_dir
+
+    p = default_model_dir("ont")
+    assert p is not None and p.endswith("flagship_ont_snv") and os.path.isdir(p)
+    # ont_r10_dorado_sup_5khz-style aliases collapse to the ont family
+    assert default_model_dir("ont_r10_dorado_sup_4khz") == p
+    # platforms without their own bundle fall back to the ONT flagship
+    assert default_model_dir("ilmn") is not None
