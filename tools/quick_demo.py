@@ -22,6 +22,10 @@ ap.add_argument("--seed", type=int, default=78)
 ap.add_argument("--genome_len", type=int, default=50_000)
 ap.add_argument("--out", default=None, help="Output dir (default: tempdir).")
 ap.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
+ap.add_argument("--include_indels", action="store_true",
+                help="Also simulate somatic indels and benchmark indel.vcf "
+                     "(long-read platforms; the reference calls indels for "
+                     "ont/hifi only by default).")
 a = ap.parse_args()
 
 if a.cpu:
@@ -49,14 +53,19 @@ PROFILES = {
 d = a.out or tempfile.mkdtemp(prefix=f"demo_{a.platform}_")
 ds = simulate.make_dataset(
     os.path.join(d, "data"), seed=a.seed, genome_len=a.genome_len,
-    n_snv=20, n_germline=12, somatic_hap_aware=True,
-    **PROFILES[a.platform],
+    n_snv=20, n_indel=12 if a.include_indels else 0, n_germline=12,
+    somatic_hap_aware=True, **PROFILES[a.platform],
 )
-cli_main(["-T", ds["bam"], "-R", ds["fasta"], "-o", os.path.join(d, "out"),
-          "-t", "2", "-p", a.platform, "--model_dir", DEFAULT_ASSET_DIR,
-          "--disable_indel_calling", "true"])
-report = format_report(compare_vcf(ds["truth_snv"],
-                                   os.path.join(d, "out", "snv.vcf"),
-                                   input_filter_tag="PASS"))
+argv = ["-T", ds["bam"], "-R", ds["fasta"], "-o", os.path.join(d, "out"),
+        "-t", "2", "-p", a.platform, "--model_dir", DEFAULT_ASSET_DIR]
+if not a.include_indels:
+    argv += ["--disable_indel_calling", "true"]
+cli_main(argv)
 print(f"\n=== {a.platform} quick demo (seed {a.seed}) ===")
-print(report)
+print(format_report(compare_vcf(ds["truth_snv"],
+                                os.path.join(d, "out", "snv.vcf"),
+                                input_filter_tag="PASS")))
+if a.include_indels:
+    print(format_report(compare_vcf(
+        ds["truth_indel"], os.path.join(d, "out", "indel.vcf"),
+        input_filter_tag="PASS", benchmark_indel=True)))
