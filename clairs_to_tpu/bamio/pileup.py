@@ -33,8 +33,12 @@ Per-view semantics honored (all verified against the reference decoders):
     mpileup): agreeing bases keep mate1 (qual q1+q2 capped 200), mate2 -> 0;
     disagreeing keep the higher-qual mate at 0.8q, other -> 0.
 
-Known divergence: samtools mpileup applies BAQ by default; BAQ is not
-implemented (base qualities used as stored).
+Note on BAQ: the reference's mpileup invocations pass no -f/--fasta-ref
+(extract_candidates_calling.py:298-309, create_tensor_pileup_calling.py:
+442-443), and samtools cannot compute BAQ without a reference — so the
+reference pipeline runs BAQ-less, exactly like this module's default
+(base qualities used as stored).  ``--apply_baq`` (bamio/baq.py) remains
+available as an experiment, not a parity requirement.
 
 This module is the behavioral reference for the C++ fast path
 (clairs_to_tpu/bamio/native), which emits the same arrays.

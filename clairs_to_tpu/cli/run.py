@@ -154,11 +154,11 @@ def _str2bool(v):
     return str(v).lower() in ("1", "true", "yes", "t")
 
 
-def default_model_dir(platform):
+def default_model_dir(platform, warn=True):
     """Per-platform default model resolution, the analog of the reference's
     model-path defaulting (run_clairs_to:612-819): prefer the committed
     assets/flagship_<family>_snv bundle, fall back to the ONT flagship
-    (cross-platform), None when no assets ship."""
+    (cross-platform, with a loud warning), None when no assets ship."""
     assets = os.path.normpath(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir,
         "assets"))
@@ -166,6 +166,13 @@ def default_model_dir(platform):
     for name in (f"flagship_{fam}_snv", "flagship_ont_snv"):
         p = os.path.join(assets, name)
         if os.path.isdir(p):
+            if warn and fam != "ont" and name == "flagship_ont_snv":
+                print(f"[WARNING] No trained model bundle ships for platform "
+                      f"family '{fam}' — falling back to ONT-trained flagship "
+                      f"weights ({p}). Cross-platform weights degrade calling "
+                      f"accuracy on real {fam} data; pass --model_dir or the "
+                      f"per-network --*_model_path flags to use proper "
+                      f"weights.")
             return p
     return None
 
@@ -183,8 +190,11 @@ def load_engines(args, mesh=None):
     from clairs_to_tpu.ops.posterior import load_likelihood_matrix, uniform_likelihood_data
     from clairs_to_tpu.train import load_checkpoint_auto
 
-    if not args.model_dir and not (args.snv_pileup_affirmative_model_path
-                                   or args.snv_pileup_negational_model_path):
+    # Default the model dir whenever it is unset — even if SOME explicit
+    # per-network paths were given: resolve() below fills only the paths not
+    # explicitly provided, mirroring the reference's independent per-path
+    # defaulting (run_clairs_to:612-819).
+    if not args.model_dir:
         args.model_dir = default_model_dir(args.platform)
         if args.model_dir:
             print(f"[INFO] Using default model assets: {args.model_dir}")

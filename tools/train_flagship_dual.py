@@ -1,9 +1,11 @@
-"""Retrain the flagship ONT checkpoints with dual-BQ views.
+"""Train per-platform flagship checkpoints with dual-BQ views.
 
 AFF trains on min_bq-filtered tensors, NEG on min_bq=0 tensors including a
-low-BQ-artifact negative class (run_clairs_to:1237 vs :1264 asymmetry).
-Writes to --out (default /tmp/flagship_dual); promotion to assets/ happens
-after end-to-end comparison against the committed checkpoints.
+low-BQ-artifact negative class (run_clairs_to:1237 vs :1264 asymmetry); for
+min_bq=0 platforms (ilmn/hifi) the two views coincide, matching the
+reference's symlinked negational tensor dir (run_clairs_to:1248-1252).
+Writes to --out; promotion to assets/flagship_<fam>_snv happens after
+end-to-end comparison (tools/eval_flagship.py) against committed checkpoints.
 """
 import argparse
 import os
@@ -16,10 +18,23 @@ import numpy as np
 ap = argparse.ArgumentParser()
 ap.add_argument("--out", default="/tmp/flagship_dual")
 ap.add_argument("--mode", default="snv", choices=["snv", "indel"])
+ap.add_argument("--platform", default="ont", choices=["ont", "ilmn", "hifi"])
 ap.add_argument("--n_train", type=int, default=12000)
 ap.add_argument("--epochs", type=int, default=80)
 ap.add_argument("--lr", type=float, default=2e-4)
+ap.add_argument("--seed", type=int, default=11)
 a = ap.parse_args()
+
+# Platform-shaped synthesis profiles (error/quality-bucket rates; the dual
+# vs single view switch itself keys off MIN_BQ_DICT inside the synthesizer).
+SYNTH_PROFILES = {
+    "ont": dict(error_rate=0.003, lowbq_rate=0.12, midbq_rate=0.15,
+                lowmq_rate=0.03),
+    "ilmn": dict(error_rate=0.0015, lowbq_rate=0.10, midbq_rate=0.12,
+                 lowmq_rate=0.02),
+    "hifi": dict(error_rate=0.0015, lowbq_rate=0.05, midbq_rate=0.08,
+                 lowmq_rate=0.02),
+}
 
 from clairs_to_tpu.bench.synth import synthesize_dual_batch
 from clairs_to_tpu.train import (
@@ -30,11 +45,13 @@ import jax
 
 out = a.out if a.mode == "snv" else os.path.join(a.out, "indel")
 os.makedirs(out, exist_ok=True)
-print("devices:", jax.devices(), "mode:", a.mode, flush=True)
+print("devices:", jax.devices(), "mode:", a.mode, "platform:", a.platform,
+      flush=True)
 
-rng = np.random.default_rng(11)
+rng = np.random.default_rng(a.seed)
 kw = dict(depth_range=(25, 95), somatic_af_range=(0.08, 0.35), mode=a.mode,
-          beta_subsample=True, platform="ont")
+          beta_subsample=True, platform=a.platform,
+          **SYNTH_PROFILES[a.platform])
 xa, xn, cov, _cn, som = synthesize_dual_batch(rng, a.n_train, **kw)
 print("train:", xa.shape, "pos:", (som >= 0).sum(), flush=True)
 
