@@ -94,6 +94,11 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ref_negate_channels.restype = None
+        lib.ref_negate_channels.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e

@@ -988,4 +988,22 @@ void entry_group_fill(
   }
 }
 
+// Reference-channel negation (create_tensor_pileup_calling.py:223-228):
+// for each row, overwrite the ref base's slot in each 4-wide strand block
+// with the negated block sum.  One memory-bound pass over (L, nchan) int32
+// counts; blocks are the channel offsets of the A.../a... groups.
+void ref_negate_channels(
+    int64_t L, int32_t nchan, int32_t* counts,
+    const int64_t* ref_idx, int32_t n_blocks, const int32_t* blocks) {
+  for (int64_t i = 0; i < L; i++) {
+    int32_t* row = counts + i * (int64_t)nchan;
+    const int64_t r = ref_idx[i];
+    for (int32_t b = 0; b < n_blocks; b++) {
+      int32_t* blk = row + blocks[b];
+      const int32_t s = blk[0] + blk[1] + blk[2] + blk[3];
+      blk[r] = -s;
+    }
+  }
+}
+
 }  // extern "C"

@@ -418,15 +418,51 @@ class PileupEngine:
 
         return out, depth
 
+    def _ref_indices(self, region_start, L):
+        """Vectorized evc_base ACGT indices for [region_start, region_start+L).
+
+        Byte-LUT over the cached reference window: A/a->0 C/c->1 G/g->2
+        T/t->3, anything else -> 0 ('A', create_tensor:82-92); positions
+        outside the window behave like 'N' -> 0.
+        """
+        if getattr(self, "_ref_u8", None) is None:
+            lut = np.zeros(256, np.int64)
+            for i, b in enumerate("ACGT"):
+                lut[ord(b)] = i
+                lut[ord(b.lower())] = i
+            self._ref_u8 = lut[
+                np.frombuffer(self.ref_seq.encode("ascii"), np.uint8)
+            ]
+        start = region_start - self.ref_start
+        out = np.zeros(L, np.int64)
+        lo, hi = max(start, 0), min(start + L, len(self._ref_u8))
+        if hi > lo:
+            out[lo - start : hi - start] = self._ref_u8[lo:hi]
+        return out
+
     def apply_reference_encoding(self, counts, region_start):
         """Ref-channel negation, vectorized (create_tensor:223-228)."""
         L = counts.shape[0]
-        ref_idx = np.array(
-            ["ACGT".index(evc_base(self._ref_base(region_start + i))) for i in range(L)],
-            dtype=np.int64,
+        ref_idx = self._ref_indices(region_start, L)
+        blocks = np.array(
+            (0, 9, _CH["ALMQ"], _CH["aLMQ"], _CH["ALBQ"], _CH["aLBQ"]),
+            np.int32,
         )
+        lib = self._native_lib()
+        if (lib is not None and counts.dtype == np.int32
+                and counts.flags.c_contiguous):
+            import ctypes
+
+            lib.ref_negate_channels(
+                L, np.int32(counts.shape[1]),
+                counts.ctypes.data_as(ctypes.c_void_p),
+                ref_idx.ctypes.data_as(ctypes.c_void_p),
+                np.int32(len(blocks)),
+                blocks.ctypes.data_as(ctypes.c_void_p),
+            )
+            return counts
         rows = np.arange(L)
-        for block in (0, 9, _CH["ALMQ"], _CH["aLMQ"], _CH["ALBQ"], _CH["aLBQ"]):
+        for block in blocks:
             sums = counts[:, block : block + 4].sum(axis=1)
             counts[rows, block + ref_idx] = -sums
         return counts

@@ -91,6 +91,22 @@ def build_parser():
                           "tracks). Without it, het-like calls serve as "
                           "loci.")
     adv.add_argument("--device_batch", type=int, default=cfg.TPU_DEVICE_BATCH)
+    adv.add_argument("--device_count", type=int, default=None,
+                     help="Number of local accelerator devices for the "
+                          "data-parallel mesh (default: all local devices; "
+                          "1 disables the mesh). The candidate batch axis is "
+                          "sharded across the mesh, params replicated "
+                          "(SURVEY.md §5.8).")
+    adv.add_argument("--coordinator_address", default=None,
+                     help="host:port of process 0 for multi-host runs "
+                          "(jax.distributed). Each host runs its owned "
+                          "genome chunks on its local device mesh; process 0 "
+                          "merges all per-chunk VCFs after a host barrier — "
+                          "requires --output_dir on a shared filesystem.")
+    adv.add_argument("--num_processes", type=int, default=None,
+                     help="Total process count for multi-host runs.")
+    adv.add_argument("--process_id", type=int, default=None,
+                     help="This process's index for multi-host runs.")
     adv.add_argument(
         "--matmul_precision", default="highest", choices=["highest", "default"],
         help="TPU MXU precision for the dual-network forward: 'highest' is "
@@ -543,7 +559,39 @@ def _pipeline_body(args, metrics, t0, tee):
         return 0
 
     snv_q, indel_q = default_qual(args)
-    snv_engine, indel_engine = load_engines(args)
+
+    # --- distribution layer (SURVEY.md §5.8) ------------------------------
+    # Hosts own disjoint chunk subsets (the reference's CHUNK_LIST static
+    # split, run_clairs_to:553-561); each host shards its candidate batches
+    # across a mesh of its LOCAL devices (params replicated, batch axis
+    # sharded) so no cross-host collective is needed beyond the end barrier.
+    from clairs_to_tpu.parallel.scheduler import (
+        all_hosts_barrier,
+        init_distributed,
+        owned_chunks,
+    )
+
+    process_count, process_index = init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    all_chunks = chunks
+    if process_count > 1:
+        chunks = owned_chunks(all_chunks, process_index, process_count)
+        print(f"[INFO] Host {process_index}/{process_count}: owns "
+              f"{len(chunks)}/{len(all_chunks)} chunks")
+
+    import jax
+
+    from clairs_to_tpu.infer.engine import make_mesh
+
+    local_devices = jax.local_devices()
+    n_dev = min(args.device_count or len(local_devices), len(local_devices))
+    mesh = make_mesh(local_devices[:n_dev]) if n_dev > 1 else None
+    if mesh is not None:
+        print(f"[INFO] Data-parallel mesh over {n_dev} local "
+              f"{local_devices[0].platform} devices")
+
+    snv_engine, indel_engine = load_engines(args, mesh=mesh)
     call_indels = indel_engine is not None
 
     genotyping_sites = None
@@ -698,6 +746,53 @@ def _pipeline_body(args, metrics, t0, tee):
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
     _trace.__exit__(None, None, None)
     _calling_stage.__exit__(None, None, None)
+
+    # --- multi-host join: every host finished its owned chunks ------------
+    if process_count > 1:
+        # spill this host's Verdict allele counts for host 0 to gather
+        if not args.disable_verdict and verdict_acc:
+            np.savez(
+                os.path.join(tmp_dir, f"verdict_counts_{process_index}.npz"),
+                **{
+                    f"{ctg}|{k}": np.concatenate(e[k])
+                    for ctg, e in verdict_acc.items()
+                    for k in ("pos", "refc", "altc")
+                    if e["pos"]
+                },
+            )
+        all_hosts_barrier("chunks_done")
+        if process_index != 0:
+            print(f"[INFO] Host {process_index}: chunk work done "
+                  f"({n_cand} candidates); host 0 merges the output.")
+            metrics.report(out=tee)
+            return 0
+        # process 0 gathers every host's per-chunk shards (shared filesystem,
+        # deterministic path naming — the all-gather analog of sort_vcf)
+        snv_paths = [
+            os.path.join(vcf_out, f"p_snv_{c.ctg_name}_{c.chunk_id}.vcf")
+            for c in all_chunks
+        ]
+        indel_paths = [
+            os.path.join(vcf_out, f"p_indel_{c.ctg_name}_{c.chunk_id}.vcf")
+            for c in all_chunks
+        ] if call_indels else []
+        missing = [p for p in snv_paths if not os.path.exists(p)]
+        if missing:
+            sys.exit(f"[ERROR] {len(missing)} chunk shards missing after the "
+                     f"host barrier (is --output_dir shared?): {missing[:3]}")
+        # gather the other hosts' Verdict allele counts
+        if not args.disable_verdict:
+            for pi in range(1, process_count):
+                spill = os.path.join(tmp_dir, f"verdict_counts_{pi}.npz")
+                if not os.path.exists(spill):
+                    continue
+                with np.load(spill) as z:
+                    for key in z.files:
+                        ctg, k = key.rsplit("|", 1)
+                        entry = verdict_acc.setdefault(
+                            ctg, {"pos": [], "refc": [], "altc": []}
+                        )
+                        entry[k].append(z[key])
 
     # --- merge + postcall (sort_vcf -> PoN -> postprocess, run_clairs_to
     # STEPs 3/5) ----------------------------------------------------------

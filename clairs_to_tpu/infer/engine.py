@@ -105,6 +105,9 @@ class InferenceEngine:
             bigru.SNV_BIGRU_CONFIG if mode == "snv" else bigru.INDEL_BIGRU_CONFIG
         )
         self.n_alleles = len(self.cvt_config.alleles)
+        if mesh is not None and device_batch % mesh.size:
+            # the padded batch axis must shard evenly across the mesh
+            device_batch = -(-device_batch // mesh.size) * mesh.size
         self.device_batch = device_batch
         self.min_rescale_cov = min_rescale_cov
         # fused VMEM-resident GRU recurrence (ops/gru_pallas.py): 1.31x over
