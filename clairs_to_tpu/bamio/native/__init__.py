@@ -94,6 +94,16 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.entry_alt_aggregate.restype = ctypes.c_int64
+        lib.entry_alt_aggregate.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 8 + [
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ref_negate_channels.restype = None
         lib.ref_negate_channels.argtypes = [
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
@@ -146,6 +156,77 @@ def group_entries_at(pos_arr, want_sorted):
     for k, p in enumerate(want):
         groups[int(p)] = hit_idx[bounds[k] : bounds[k + 1]]
     return groups
+
+
+def alt_aggregate(arrays, iseq_off, iseq_blob, want_sorted, min_bq, min_mq,
+                  ref_seq, ref_start):
+    """Distinct entry keys + counts per wanted position (order preserved).
+
+    Returns {pos: [(entry_string, count), ...]} with keys in first-encounter
+    (mpileup column) order, or None when the native lib is unavailable —
+    callers fall back to the per-entry Python loop.
+    """
+    lib = get_lib()
+    if lib is None or iseq_off is None:
+        return None
+    want = np.ascontiguousarray(want_sorted, dtype=np.int64)
+    npos = len(want)
+    if npos == 0:
+        return {}
+    pos_arr = np.ascontiguousarray(arrays["pos"], np.int64)
+    n = len(pos_arr)
+    code = np.ascontiguousarray(arrays["code"], np.int8)
+    bq = np.ascontiguousarray(arrays["bq"], np.int16)
+    mq = np.ascontiguousarray(arrays["mq"], np.int16)
+    ikind = np.ascontiguousarray(arrays["ikind"], np.int8)
+    ilen = np.ascontiguousarray(arrays["ilen"], np.int32)
+    iseq_off = np.ascontiguousarray(iseq_off, np.int64)
+    blob = np.ascontiguousarray(iseq_blob, np.uint8)
+    ref_bytes = ref_seq.encode("ascii", "replace")
+
+    ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    keys_cap = npos * 12 + 64
+    blob_cap = keys_cap * 8
+    for _attempt in range(2):
+        out_nkeys = np.empty(npos, np.int32)
+        out_counts = np.empty(keys_cap, np.int32)
+        out_key_len = np.empty(keys_cap, np.int32)
+        key_blob = np.empty(blob_cap, np.uint8)
+        needed_keys = ctypes.c_int64(0)
+        needed_blob = ctypes.c_int64(0)
+        rc = lib.entry_alt_aggregate(
+            n, ptr(pos_arr), ptr(code), ptr(bq), ptr(mq), ptr(ikind),
+            ptr(ilen), ptr(iseq_off), ptr(blob),
+            npos, ptr(want), int(min_bq), int(min_mq),
+            ref_bytes, len(ref_bytes), int(ref_start),
+            ptr(out_nkeys), ptr(out_counts), ptr(out_key_len),
+            ptr(key_blob), keys_cap, blob_cap,
+            ctypes.byref(needed_keys), ctypes.byref(needed_blob),
+        )
+        if rc >= 0:
+            break
+        keys_cap = int(needed_keys.value) + 16
+        blob_cap = int(needed_blob.value) + 16
+    else:  # pragma: no cover - two attempts always suffice
+        raise RuntimeError("entry_alt_aggregate capacity retry failed")
+
+    total = int(rc)
+    raw = key_blob.tobytes()
+    out = {}
+    ki = 0
+    boff = 0
+    for k in range(npos):
+        nk = int(out_nkeys[k])
+        items = []
+        for _ in range(nk):
+            ln = int(out_key_len[ki])
+            items.append((raw[boff : boff + ln].decode("latin-1"),
+                          int(out_counts[ki])))
+            ki += 1
+            boff += ln
+        out[int(want[k])] = items
+    assert ki == total
+    return out
 
 
 class LazyIseq:

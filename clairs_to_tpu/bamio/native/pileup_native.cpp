@@ -988,6 +988,127 @@ void entry_group_fill(
   }
 }
 
+// Per-position distinct-entry-key aggregation (first-encounter order =
+// mpileup column order).  One pass groups entries at the wanted positions,
+// a second pass per position dedupes by (code, ikind, ilen, iseq bytes) and
+// materialises the exact mpileup entry strings (pileup.py::_entry_string):
+// pure base char, base+'+'+iseq (case as stored), or base+'-'+refseq (case
+// by strand, 'N' outside the reference window).  Serves both alt_info_at
+// and find_candidates' exact gating: their per-entry Python loops become
+// per-distinct-key loops (~4 keys/position vs ~depth entries/position).
+//
+// Returns the number of keys written, or -1 when keys_cap/blob_cap are too
+// small — needed sizes are always stored so the caller can retry once.
+int64_t entry_alt_aggregate(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int64_t* iseq_off, const char* iseq_blob,
+    int64_t npos, const int64_t* want,
+    int min_bq, int min_mq,
+    const char* ref_seq, int64_t ref_len, int64_t ref_start,
+    int32_t* out_nkeys, int32_t* out_counts, int32_t* out_key_len,
+    uint8_t* key_blob, int64_t keys_cap, int64_t blob_cap,
+    int64_t* needed_keys, int64_t* needed_blob) {
+  *needed_keys = 0;
+  *needed_blob = 0;
+  if (npos == 0) return 0;
+  WantIndex wi(npos, want);
+  // phase A: group entry indices by wanted position (order preserved)
+  std::vector<int64_t> counts(npos, 0);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t k = wi.find(pos[j]);
+    if (k >= 0) counts[k] += 1;
+  }
+  std::vector<int64_t> offsets(npos + 1, 0);
+  for (int64_t k = 0; k < npos; k++) offsets[k + 1] = offsets[k] + counts[k];
+  std::vector<int64_t> idx(offsets[npos]);
+  {
+    std::vector<int64_t> cur(offsets.begin(), offsets.end() - 1);
+    for (int64_t j = 0; j < n; j++) {
+      int64_t k = wi.find(pos[j]);
+      if (k >= 0) idx[cur[k]++] = j;
+    }
+  }
+  // phase B: per position, dedupe entries by key in first-encounter order
+  struct Slot {
+    int8_t code, kind;
+    int32_t len;
+    int64_t off;     // iseq offset (ins) for byte-identity compare
+    int32_t count;
+  };
+  std::vector<Slot> slots;
+  int64_t keys_out = 0, blob_out = 0;
+  bool overflow = false;
+  for (int64_t k = 0; k < npos; k++) {
+    slots.clear();
+    int16_t pure_slot[10];
+    for (int i = 0; i < 10; i++) pure_slot[i] = -1;
+    for (int64_t t = offsets[k]; t < offsets[k + 1]; t++) {
+      int64_t j = idx[t];
+      int8_t c = code[j];
+      if (c == 10 || bq[j] < min_bq || mq[j] < min_mq) continue;
+      int8_t kind = ikind[j];
+      if (kind == 0) {
+        int16_t s = pure_slot[c];
+        if (s < 0) {
+          pure_slot[c] = (int16_t)slots.size();
+          slots.push_back({c, 0, 0, 0, 1});
+        } else {
+          slots[s].count += 1;
+        }
+        continue;
+      }
+      int32_t len = ilen[j];
+      int64_t off = (kind == 1) ? iseq_off[j] : 0;
+      int found = -1;
+      for (size_t s = 0; s < slots.size(); s++) {
+        const Slot& sl = slots[s];
+        if (sl.code != c || sl.kind != kind || sl.len != len) continue;
+        if (kind == 1 &&
+            memcmp(iseq_blob + sl.off, iseq_blob + off, (size_t)len) != 0)
+          continue;
+        found = (int)s;
+        break;
+      }
+      if (found >= 0) slots[found].count += 1;
+      else slots.push_back({c, kind, len, off, 1});
+    }
+    out_nkeys[k] = (int32_t)slots.size();
+    for (const Slot& sl : slots) {
+      static const char kBaseChar[10] = {'A', 'C', 'G', 'T',
+                                         'a', 'c', 'g', 't', '*', '#'};
+      int64_t slen = (sl.kind == 0) ? 1 : 2 + sl.len;
+      *needed_keys += 1;
+      *needed_blob += slen;
+      if (overflow) continue;
+      if (keys_out + 1 > keys_cap || blob_out + slen > blob_cap) {
+        overflow = true;
+        continue;
+      }
+      uint8_t* dst = key_blob + blob_out;
+      dst[0] = (uint8_t)kBaseChar[sl.code];
+      if (sl.kind == 1) {
+        dst[1] = '+';
+        memcpy(dst + 2, iseq_blob + sl.off, (size_t)sl.len);
+      } else if (sl.kind == 2) {
+        dst[1] = '-';
+        bool rev = (sl.code >= 4 && sl.code < 8) || sl.code == 9;
+        int64_t p = want[k];
+        for (int32_t t = 0; t < sl.len; t++) {
+          int64_t ri = p + 1 + t - ref_start;
+          char rb = (ri >= 0 && ri < ref_len) ? ref_seq[ri] : 'N';
+          dst[2 + t] = (uint8_t)(rev ? tolower(rb) : rb);
+        }
+      }
+      out_counts[keys_out] = sl.count;
+      out_key_len[keys_out] = (int32_t)slen;
+      keys_out += 1;
+      blob_out += slen;
+    }
+  }
+  return overflow ? -1 : keys_out;
+}
+
 // Reference-channel negation (create_tensor_pileup_calling.py:223-228):
 // for each row, overwrite the ref base's slot in each 4-wide strand block
 // with the negated block sum.  One memory-bound pass over (L, nchan) int32

@@ -468,30 +468,31 @@ class PileupEngine:
         return counts
 
     # ------------------------------------------------------------------
-    def alt_info_at(self, positions, min_bq: int):
-        """Reference alt_info strings at candidate positions (tensor view).
+    def _alt_groups(self, want, min_bq, min_mq):
+        """{pos: [(entry_string, count)]} in first-encounter order.
 
-        Grammar (create_tensor:158-209): "<depth>-<key cnt key cnt ...>-",
-        keys X<base>, I<anchor><seq>, D<anchor+deleted ref>, R<ref>, insertion
-        order = first-encounter order of entries (mpileup column order).
+        The per-entry view filter (bq/mq/CODE_SKIP) and distinct-key
+        aggregation run in one native pass (entry_alt_aggregate); the
+        Python loop below is the behavioral reference and the fallback.
         """
         a = self._finalize()
         from clairs_to_tpu.bamio import native
 
-        want = sorted(set(int(p) for p in positions))
-        # one O(n) native pass groups entry indices by position (order
-        # preserved); replaces a per-entry Python loop over the whole table
+        if native.available() and len(want):
+            self._ensure_iseq_arrays()
+            groups = native.alt_aggregate(
+                a, self._iseq_off, self._iseq_blob, want,
+                min_bq, min_mq, self.ref_seq, self.ref_start,
+            )
+            if groups is not None:
+                return groups
         per_pos_entries = native.group_entries_at(a["pos"], want)
         out = {}
         for p in want:
-            depth = 0
-            alt_dict = {}
-            ref_count = 0
-            rb = self._ref_base(p)
             counter = defaultdict(int)
             order = []
             for j in per_pos_entries.get(p, []):
-                if self._bq[j] < min_bq or self._mq[j] < cfg.LOW_MQ_THRESHOLD:
+                if self._bq[j] < min_bq or self._mq[j] < min_mq:
                     continue
                 if self._code[j] == CODE_SKIP:
                     continue
@@ -499,8 +500,25 @@ class PileupEngine:
                 if key not in counter:
                     order.append(key)
                 counter[key] += 1
-            for key in order:
-                count = counter[key]
+            out[p] = [(key, counter[key]) for key in order]
+        return out
+
+    def alt_info_at(self, positions, min_bq: int):
+        """Reference alt_info strings at candidate positions (tensor view).
+
+        Grammar (create_tensor:158-209): "<depth>-<key cnt key cnt ...>-",
+        keys X<base>, I<anchor><seq>, D<anchor+deleted ref>, R<ref>, insertion
+        order = first-encounter order of entries (mpileup column order).
+        """
+        want = sorted(set(int(p) for p in positions))
+        groups = self._alt_groups(want, min_bq, cfg.LOW_MQ_THRESHOLD)
+        out = {}
+        for p in want:
+            depth = 0
+            alt_dict = {}
+            ref_count = 0
+            rb = self._ref_base(p)
+            for key, count in groups.get(p, []):
                 if len(key) == 1:
                     if key.upper() in "ACGT":
                         depth += count
@@ -662,39 +680,21 @@ class PileupEngine:
             return [], [], {}
 
         # ---- exact gating at prefiltered positions ------------------------
-        # one O(n) native pass groups entries by prefiltered position
-        # (entry order preserved); per-entry view filters run on the small
-        # groups only
-        from clairs_to_tpu.bamio import native
-
+        # one native pass aggregates distinct entry keys per prefiltered
+        # position (view filters applied in C++); the threshold logic below
+        # sees ~4 keys/position instead of ~depth entries/position
         pf = np.asarray(prefilter, dtype=np.int64)
-        per_pos = native.group_entries_at(a["pos"], pf)
-        bq_a, mq_a, code_a = a["bq"], a["mq"], a["code"]
+        groups = self._alt_groups(pf, min_bq, cfg.MIN_MQ)
 
         snv_pos, indel_pos = [], []
         infos = {}
-        for p in sorted(per_pos):
+        for p in sorted(groups):
             rb = self._ref_base(p)
             if rb not in "ACGT":
                 continue
-            entries = per_pos[p]
-            counter = defaultdict(int)
-            order = []
-            for j in entries:
-                if (
-                    mq_a[j] < cfg.MIN_MQ
-                    or bq_a[j] < min_bq
-                    or code_a[j] == CODE_SKIP
-                ):
-                    continue
-                key = self._entry_string(j)
-                if key not in counter:
-                    order.append(key)
-                counter[key] += 1
             pileup_dict = defaultdict(int)
             depth = 0
-            for key in order:
-                count = counter[key]
+            for key, count in groups[p]:
                 if key[0].upper() in "ACGT":
                     pileup_dict[key[0].upper()] += count
                     depth += count
@@ -741,8 +741,8 @@ class PileupEngine:
                 continue
             # alt_list: per-entry uppercase counts, ref excluded
             alt_counter = defaultdict(int)
-            for key in order:
-                alt_counter[key.upper()] += counter[key]
+            for key, count in groups[p]:
+                alt_counter[key.upper()] += count
             alt_list = sorted(alt_counter.items(), key=lambda x: x[1], reverse=True)
             alt_list = [(k, c) for k, c in alt_list if k != rb]
             info = CandidateInfo(
