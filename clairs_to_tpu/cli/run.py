@@ -310,17 +310,28 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             apply_haplotype_filters,
         )
 
-        # het germline proxies: 0/1 rows from this chunk's calling output
-        het_sites = [
-            (r["POS"] - 1, r["REF"], r["ALT"])
-            for r in res.snv_rows
+        # Germline sets from this chunk's calling output, mirroring the
+        # reference's germline_vcf_fn = snv_pileup.vcf: PASS 0/1 rows feed
+        # the het set, PASS 1/1 rows the hom set (haplotype_filtering.py:
+        # 910-916).  Phasing anchors additionally require a germline-like
+        # AF band — the analog of select_hetero_snp's qual-percentile drop.
+        het_rows = [
+            r for r in res.snv_rows
             if r["GT"] == "0/1" and len(r["REF"]) == 1 and len(r["ALT"]) == 1
-            and r["AF"] >= 0.35  # germline-like AF band for phasing anchors
         ]
-        phase_and_tag(pe, het_sites)
+        hom_rows = [
+            r for r in res.snv_rows
+            if r["GT"] == "1/1" and len(r["REF"]) == 1 and len(r["ALT"]) == 1
+        ]
+        anchors = [
+            (r["POS"] - 1, r["REF"], r["ALT"])
+            for r in het_rows if r["AF"] >= 0.35
+        ]
+        phase_and_tag(pe, anchors)
         engine = HaplotypeFilterEngine(
             pe,
-            hetero_germline=[(p, a) for (p, _r, a) in het_sites],
+            hetero_germline=[(r["POS"] - 1, r["ALT"]) for r in het_rows],
+            homo_germline=[(r["POS"] - 1, r["ALT"]) for r in hom_rows],
             disable_read_start_end_filtering=args.disable_read_start_end_filtering,
         )
         verdicts = {}
@@ -816,6 +827,7 @@ def _pipeline_body(args, metrics, t0, tee):
                 else None
             ),
             print_nonsomatic_calls=not args.do_not_print_nonsomatic_calls,
+            drop_nonpass=False,
         )
         _pon_stage.__exit__(None, None, None)
 

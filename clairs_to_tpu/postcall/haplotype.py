@@ -63,16 +63,20 @@ class HaplotypeVerdict:
 class HaplotypeFilterEngine:
     """Runs the 9 verdicts against a (haplotagged) entry table."""
 
-    def __init__(self, pileup_engine, min_bq=None, min_mq=cfg.MIN_MQ,
-                 max_co_exist_read_num=cfg.ALTERNATIVE_BASE_NUM,
+    def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
+                 max_co_exist_read_num=2,
                  disable_read_start_end_filtering=False,
                  hetero_germline=None, homo_germline=None):
         """hetero/homo_germline: [(pos0, alt_base)] flanking germline calls
-        from the pileup germline VCF (haplotype_filtering.py:901-939)."""
+        from the pileup germline VCF (haplotype_filtering.py:901-939).
+
+        Defaults pin the reference driver's: the filter-stage mpileup runs
+        at --min-BQ param.min_bq=0 (NOT the platform tensor min_bq) and
+        --min_alt_coverage defaults to 2 (haplotype_filtering.py:1252);
+        run_clairs_to passes neither, so these are production values.
+        Verified by tests/test_golden_filters.py."""
         self.pe = pileup_engine
-        self.min_bq = (
-            min_bq if min_bq is not None else cfg.MIN_BQ_DICT.get(self.pe.platform, 0)
-        )
+        self.min_bq = min_bq
         self.min_mq = min_mq
         self.max_co_exist = max_co_exist_read_num
         self.disable_rse = disable_read_start_end_filtering
@@ -255,7 +259,9 @@ class HaplotypeFilterEngine:
 
         # ⑥ hom-germline carryover (:470-529)
         for gp, gab in self.homo_germline:
-            if not (win_lo <= gp <= win_hi):
+            # the reference drops the candidate site itself when building
+            # the HAP_INFO germline strings (p_gl == pos, :1011)
+            if not (win_lo <= gp <= win_hi) or gp == pos0:
                 continue
             ents = self._entries_at(gp)
             if len(ents) == 0:

@@ -137,15 +137,15 @@ class FilterVerdict:
 class HardFilterEngine:
     """Runs the no-phasing verdict set against a PileupEngine entry table."""
 
-    def __init__(self, pileup_engine, min_bq=None, min_mq=cfg.MIN_MQ,
-                 max_co_exist_read_num=cfg.ALTERNATIVE_BASE_NUM,
+    def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
+                 max_co_exist_read_num=2,
                  disable_read_start_end_filtering=False):
+        """Defaults pin the reference driver's postfilter invocation:
+        --min-BQ param.min_bq=0 and --min_alt_coverage 2
+        (postfilter_variants.py:795-801; run_clairs_to passes neither).
+        Verified by tests/test_golden_filters.py."""
         self.pe = pileup_engine
-        self.min_bq = (
-            min_bq
-            if min_bq is not None
-            else cfg.MIN_BQ_DICT.get(self.pe.platform, 0)
-        )
+        self.min_bq = min_bq
         self.min_mq = min_mq
         self.max_co_exist = max_co_exist_read_num
         self.disable_rse = disable_read_start_end_filtering

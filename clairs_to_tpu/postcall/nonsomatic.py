@@ -86,6 +86,7 @@ def tag_nonsomatic_file(
     skip_md5=False,
     print_nonsomatic_calls=True,
     pass_only=True,
+    drop_nonpass=True,
 ):
     """Tag input VCF rows found in any PoN; returns summary dict."""
     if require_allele_matching is None:
@@ -183,10 +184,31 @@ def tag_nonsomatic_file(
     if not inserted and out_header:
         out_header = out_header[:-1] + pon_info_lines + out_header[-1:]
 
+    # By default only candidate rows are written (the reference drops
+    # non-PASS rows unless --show_ref; nonsomatic_tagging.py:374-392,
+    # 497-529), ordered major contigs first then input-encounter order,
+    # positions sorted.  drop_nonpass=False keeps non-candidate rows for
+    # pipelines whose hard filters already ran (this framework's CLI tags
+    # after the in-memory filter stage, not before like run_clairs_to).
+    ctg_rank = {}
+    for i, c in enumerate([f"chr{x}" for x in list(range(1, 23)) + ["X", "Y"]]
+                          + [str(x) for x in list(range(1, 23)) + ["X", "Y"]]):
+        ctg_rank[c] = i
+    seen_ctgs = []
+    for (ctg, _p, _c, _l, is_pass) in rows:
+        if ctg not in ctg_rank and ctg not in seen_ctgs:
+            seen_ctgs.append(ctg)
+    for j, c in enumerate(seen_ctgs):
+        ctg_rank[c] = len(ctg_rank) + j
+    order = sorted(
+        (i for i, r in enumerate(rows) if r[4] or not drop_nonpass),
+        key=lambda i: (ctg_rank.get(rows[i][0], 1 << 30), rows[i][1]),
+    )
     n_tagged = 0
     with open(output_vcf + ".tmp", "w") as out:
         out.writelines(out_header)
-        for i, (ctg, pos, cols, line, is_pass) in enumerate(rows):
+        for i in order:
+            ctg, pos, cols, line, _is_pass = rows[i]
             if i in tagged:
                 n_tagged += 1
                 if not print_nonsomatic_calls:
