@@ -66,8 +66,9 @@ def measure_end_to_end():
         "-T", os.path.join(BENCH_DIR, "tumor.bam"),
         "-R", os.path.join(BENCH_DIR, "ref.fa"),
         "-o", out_dir,
-        "-p", "ont",
+        "-p", "ont", "-t", "2",
         "--disable_verdict",
+        "--disable_indel_calling", "true",
     ]
     env = dict(os.environ)
     proc = subprocess.run(

@@ -87,6 +87,7 @@ def simulate_reads(
     lowbq_qual=10,
     lowbq_error_mult=10.0,
     somatic_hap_aware=False,
+    eval_profile=None,
 ):
     """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos.
 
@@ -97,10 +98,24 @@ def simulate_reads(
 
     ``somatic_hap_aware`` places each somatic variant on ONE haplotype (as
     real somatic mutations are): only reads of that haplotype can carry it,
-    with per-read probability min(2*af, 1) so the marginal AF is preserved.
-    Off by default (legacy behavior: per-read iid at ``af``); required for
-    the long-read haplotype verdicts (MultiHap, NoAncestry — reference
+    with per-read probability min(2*af, 1) — the marginal AF is preserved
+    for af <= 0.5 and caps at 0.5 above that (a hap-restricted variant
+    cannot exceed the haplotype's read share).  Off by default (legacy
+    behavior: per-read iid at ``af``); required for the long-read haplotype
+    verdicts (MultiHap, NoAncestry — reference
     src/haplotype_filtering.py:375-468) to see realistic co-segregation.
+
+    ``eval_profile`` (dict or None) switches on a richer, evaluation-grade
+    error process that the training tensor synthesizer (bench/synth.py)
+    deliberately does NOT model — keeping held-out evaluation decoupled
+    from the training distribution:
+      hp_error_mult:   substitution-error multiplier inside homopolymer
+                       runs >= 3 bp (ONT-like context dependence)
+      strand_err_mult: error multiplier applied to reverse-strand reads
+                       only (strand-asymmetric artifacts)
+      qual_decay:      linear base-quality decline toward the read 3' end
+      burst_rate/burst_len/burst_qual/burst_err_mult:
+                       per-read chance of a low-quality, high-error segment
     """
     L = len(genome)
     n_reads = int(L * coverage / read_length)
@@ -159,16 +174,58 @@ def simulate_reads(
                 qual[int(i)] = lowbq_qual
                 if rng.random() < error_rate * lowbq_error_mult:
                     seq[int(i)] = rng.choice([b for b in BASES if b != seq[int(i)]])
-        # sequencing errors
-        n_err = rng.binomial(len(seq), error_rate)
-        for _ in range(n_err):
-            i = int(rng.integers(0, len(seq)))
-            seq[i] = rng.choice([b for b in BASES if b != seq[i]])
-        seq = "".join(seq)
         flag = 16 if rng.random() < 0.5 else 0
+        if eval_profile is None:
+            # sequencing errors (legacy iid-uniform process)
+            n_err = rng.binomial(len(seq), error_rate)
+            for _ in range(n_err):
+                i = int(rng.integers(0, len(seq)))
+                seq[i] = rng.choice([b for b in BASES if b != seq[i]])
+        else:
+            _apply_eval_errors(rng, seq, qual, error_rate, flag, eval_profile)
+        seq = "".join(seq)
         reads.append((f"read{ridx:06d}", flag, start, cigar, seq, qual))
     reads.sort(key=lambda r: r[2])
     return reads
+
+
+def _apply_eval_errors(rng, seq, qual, error_rate, flag, profile):
+    """Evaluation-grade error process (see simulate_reads docstring).
+
+    Mutates seq (list of chars) and qual (list of ints) in place.  Errors
+    are context-dependent (homopolymers), strand-asymmetric, and bursty —
+    structure the training synthesizer does not model, so models cannot
+    score well here by memorizing the training noise process."""
+    L = len(seq)
+    if L == 0:
+        return
+    err = np.full(L, error_rate)
+    if flag & 16:
+        err *= profile.get("strand_err_mult", 1.0)
+    hp_mult = profile.get("hp_error_mult", 1.0)
+    if hp_mult != 1.0:
+        run = 1
+        for i in range(1, L + 1):
+            if i < L and seq[i] == seq[i - 1]:
+                run += 1
+                continue
+            if run >= 3:
+                err[i - run : i] *= hp_mult
+            run = 1
+    decay = profile.get("qual_decay", 0.0)
+    if decay > 0:
+        for i in range(L):
+            qual[i] = max(2, int(qual[i] - decay * i / L))
+    if rng.random() < profile.get("burst_rate", 0.0):
+        blen = min(int(profile.get("burst_len", 30)), L)
+        b0 = int(rng.integers(0, L - blen + 1))
+        bq = int(profile.get("burst_qual", 7))
+        err[b0 : b0 + blen] *= profile.get("burst_err_mult", 8.0)
+        for i in range(b0, b0 + blen):
+            qual[i] = min(qual[i], bq)
+    hits = np.nonzero(rng.random(L) < np.minimum(err, 0.5))[0]
+    for i in hits:
+        seq[int(i)] = rng.choice([b for b in BASES if b != seq[int(i)]])
 
 
 def _extend_cigar(cigar, op, ln):
@@ -267,6 +324,7 @@ def make_dataset(
     lowbq_rate=0.0,
     lowbq_error_mult=10.0,
     somatic_hap_aware=False,
+    eval_profile=None,
 ):
     """Write ref.fa(.fai), tumor.bam, truth.vcf under out_dir; return paths.
 
@@ -288,7 +346,7 @@ def make_dataset(
         rng, genome, variants, coverage=coverage, read_length=read_length,
         error_rate=error_rate, tumor_purity=tumor_purity, base_qual=base_qual,
         lowbq_rate=lowbq_rate, lowbq_error_mult=lowbq_error_mult,
-        somatic_hap_aware=somatic_hap_aware,
+        somatic_hap_aware=somatic_hap_aware, eval_profile=eval_profile,
     )
     fasta_path = os.path.join(out_dir, "ref.fa")
     write_fasta(fasta_path, {ctg: genome})

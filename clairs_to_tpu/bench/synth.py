@@ -59,7 +59,7 @@ def _fill_column_buckets(
     t_aff, t_neg, col, ref_idx, depth, rng,
     alt_idx=None, alt_count=0, artifact_idx=None, artifact_count=0,
     error_rate=0.002, lowbq_rate=0.12, midbq_rate=0.15, lowmq_rate=0.03,
-    dual=True,
+    dual=True, err_dst=None, strand_p=0.5, alt_bucket_skew=None,
 ):
     """Fill one column of both views with quality-bucketed counts.
 
@@ -87,20 +87,37 @@ def _fill_column_buckets(
         for _ in range(n_err):
             nz = np.nonzero(counts)[0]
             src = rng.choice(nz) if len(nz) else ref_idx
-            dst = rng.integers(0, 4)
+            if err_dst is not None and rng.random() < 0.8:
+                dst = err_dst  # recurrent-error column (hotspot)
+            else:
+                dst = rng.integers(0, 4)
             if counts[src] > 0 and dst != src:
                 counts[src] -= 1
                 counts[dst] += 1
         return counts
 
-    # distribute true alt reads across buckets proportionally (capped)
+    # distribute true alt reads across buckets (default proportional;
+    # alt_bucket_skew biases alt support toward mid/low BQ — degraded-alt
+    # robustness without copying the BAM simulator's decay mechanics)
     takes = np.zeros(3, np.int64)
     sizes = np.array([n_hq, n_mid, n_low], np.int64)
     if alt_count and sizes.sum() > 0:
-        takes = rng.multinomial(
-            min(alt_count, int(sizes.sum())), sizes / sizes.sum()
-        )
+        w = sizes.astype(np.float64)
+        if alt_bucket_skew is not None:
+            w = w * np.asarray(alt_bucket_skew, np.float64)
+        if w.sum() <= 0:
+            w = sizes.astype(np.float64)
+        takes = rng.multinomial(min(alt_count, int(sizes.sum())), w / w.sum())
         takes = np.minimum(takes, sizes)
+        # reassign overflow to buckets with room
+        short = min(alt_count, int(sizes.sum())) - int(takes.sum())
+        for b in range(3):
+            if short <= 0:
+                break
+            room = int(sizes[b] - takes[b])
+            add = min(room, short)
+            takes[b] += add
+            short -= add
     hq = bucket_counts(n_hq, 1.0, takes[0])
     mid = bucket_counts(n_mid, 3.0, takes[1])
     low = bucket_counts(n_low, 10.0, takes[2])
@@ -110,13 +127,24 @@ def _fill_column_buckets(
         low[artifact_idx] += take
     lowmq = bucket_counts(n_lowmq, 3.0, 0)
 
-    def split(c):
-        f = rng.binomial(c, 0.5)
+    def split(c, p=0.5):
+        f = rng.binomial(c, p)
         return f, c - f
 
-    hq_f, hq_r = split(hq)
-    mid_f, mid_r = split(mid)
-    low_f, low_r = split(low)
+    def split_alt_aware(counts):
+        """Ref bases split 50/50; the alt/err-dst base splits at strand_p."""
+        if strand_p == 0.5:
+            return split(counts)
+        tgt = alt_idx if alt_idx is not None else err_dst
+        f, r = split(counts)
+        if tgt is not None and counts[tgt] > 0:
+            f[tgt] = rng.binomial(counts[tgt], strand_p)
+            r[tgt] = counts[tgt] - f[tgt]
+        return f, r
+
+    hq_f, hq_r = split_alt_aware(hq)
+    mid_f, mid_r = split_alt_aware(mid)
+    low_f, low_r = split_alt_aware(low)
     lmq_f, lmq_r = split(lowmq)
 
     t_aff[col, 0:4] = hq_f + mid_f
@@ -149,24 +177,36 @@ def synthesize_dual_batch(
     somatic_af_range=(0.08, 0.35),
     flank_germline_rate=0.02,
     error_rate=0.002,
-    class_probs=(0.38, 0.17, 0.05, 0.27, 0.13),
+    class_probs=(0.33, 0.15, 0.05, 0.27, 0.10, 0.10),
     mode="snv",
     beta_subsample=True,
     lowbq_rate=0.12,
     midbq_rate=0.15,
     lowmq_rate=0.03,
+    hotspot_rate=0.03,
 ):
     """Dual-view synthesis: (x_aff, x_neg, cov_aff, cov_neg, som).
 
-    Classes: ref / germline-het / germline-hom / somatic / low-BQ artifact.
-    The artifact class carries alt support only in sub-min_bq bases: visible
-    to the NEG view, absent from the AFF view (the reference's dual-BQ
-    asymmetry, run_clairs_to:1237 vs :1264) — label "not somatic".  For
-    platforms with min_bq=0 (ilmn/hifi) the two views coincide and x_neg is
-    x_aff.
+    Classes: ref / germline-het / germline-hom / somatic / low-BQ artifact
+    / structured noise.  The artifact class carries alt support only in
+    sub-min_bq bases: visible to the NEG view, absent from the AFF view
+    (the reference's dual-BQ asymmetry, run_clairs_to:1237 vs :1264) —
+    label "not somatic".  For platforms with min_bq=0 (ilmn/hifi) the two
+    views coincide and x_neg is x_aff.
+
+    The STRUCTURED-NOISE class (5) and flanking error HOTSPOTS model the
+    failure modes of real sequencers abstractly — recurrent same-base
+    errors, strand-asymmetric support, BQ-degraded alt reads — WITHOUT
+    copying the BAM simulator's concrete mechanics (homopolymer runs,
+    positional quality decay), keeping evaluation on bamio/simulate.py
+    eval_profile data decoupled from the training distribution.  True
+    somatic alts also get mild strand imbalance and occasional BQ skew so
+    the nets cannot treat any asymmetry as proof of noise.
     """
     fam = cfg.platform_family(platform)
     dual = cfg.MIN_BQ_DICT.get(fam, 0) > 0
+    if len(class_probs) == 5:  # legacy callers: no structured-noise class
+        class_probs = tuple(class_probs) + (0.0,)
     x_aff = np.zeros((n, WIN, cfg.PILEUP_CHANNEL_SIZE), np.float32)
     x_neg = x_aff if not dual else np.zeros_like(x_aff)
     cov_aff = np.zeros(n, np.float32)
@@ -193,6 +233,15 @@ def synthesize_dual_batch(
                 ac = rng.binomial(d, 0.5)
                 _fill_column_buckets(ta, tn, col, ref_indices[col], d, rng,
                                      alt_idx=alt, alt_count=ac, **kw)
+            elif rng.random() < hotspot_rate:
+                # recurrent-error column: errors concentrate on one base,
+                # strand-asymmetric, elevated rate
+                hkw = dict(kw)
+                hkw["error_rate"] = error_rate * float(rng.uniform(4, 16))
+                _fill_column_buckets(
+                    ta, tn, col, ref_indices[col], d, rng,
+                    err_dst=int((ref_indices[col] + rng.integers(1, 4)) % 4),
+                    strand_p=float(rng.uniform(0.25, 0.75)), **hkw)
             else:
                 _fill_column_buckets(ta, tn, col, ref_indices[col], d, rng, **kw)
             _encode_ref_all(ta, col, ref_indices[col])
@@ -204,6 +253,7 @@ def synthesize_dual_batch(
         alt_idx = (ref_idx + int(rng.integers(1, 4))) % 4
         indel_kind = None
         af, artifact_af = 0.0, 0.0
+        center_kw = {}
         if klass == 1:
             af = float(np.clip(rng.normal(0.5, 0.03), 0.35, 0.65))
         elif klass == 2:
@@ -212,8 +262,21 @@ def synthesize_dual_batch(
             af = float(rng.uniform(*somatic_af_range))
             if mode == "indel":
                 indel_kind = ("snv", "ins", "del")[int(rng.integers(0, 3))]
+            # mild, realistic asymmetries on TRUE somatic alts
+            center_kw["strand_p"] = float(np.clip(rng.normal(0.5, 0.08),
+                                                  0.3, 0.7))
+            if rng.random() < 0.3:
+                center_kw["alt_bucket_skew"] = (0.5, 1.0, 2.0)
         elif klass == 4:
             artifact_af = float(rng.uniform(0.05, 0.3))
+        elif klass == 5:
+            # structured noise: recurrent alt, strand-asymmetric, BQ-skewed
+            af = float(rng.uniform(0.03, 0.15))
+            center_kw["strand_p"] = float(
+                rng.uniform(0.15, 0.85) if rng.random() < 0.5
+                else rng.choice([0.05, 0.95]))
+            center_kw["alt_bucket_skew"] = (0.3, 1.0, 3.0)
+            center_kw["error_rate"] = error_rate * float(rng.uniform(2, 8))
         alt_count = rng.binomial(depth, af) if af > 0 else 0
         artifact_count = rng.binomial(depth, artifact_af) if artifact_af else 0
 
@@ -241,7 +304,7 @@ def synthesize_dual_batch(
                 ta, tn, FLANK, ref_idx, depth, rng,
                 alt_idx=alt_idx if af > 0 else None, alt_count=alt_count,
                 artifact_idx=alt_idx if artifact_af else None,
-                artifact_count=artifact_count, **kw)
+                artifact_count=artifact_count, **{**kw, **center_kw})
             if klass == 3 and alt_count >= cfg.ALTERNATIVE_BASE_NUM:
                 som[i] = alt_idx
         _encode_ref_all(ta, FLANK, ref_idx)

@@ -602,7 +602,8 @@ def _pipeline_body(args, metrics, t0, tee):
         print(f"[INFO] Data-parallel mesh over {n_dev} local "
               f"{local_devices[0].platform} devices")
 
-    snv_engine, indel_engine = load_engines(args, mesh=mesh)
+    with metrics.stage("load_engines"):
+        snv_engine, indel_engine = load_engines(args, mesh=mesh)
     call_indels = indel_engine is not None
 
     genotyping_sites = None
@@ -679,7 +680,8 @@ def _pipeline_body(args, metrics, t0, tee):
     )
 
     pipe = CallingPipeline(
-        fasta, args.tumor_bam_fn, snv_engine, indel_engine, options
+        fasta, args.tumor_bam_fn, snv_engine, indel_engine, options,
+        metrics=metrics,
     )
     if args.min_bq is not None:
         # explicit --min_bq overrides the platform AFF-view base quality
@@ -728,9 +730,10 @@ def _pipeline_body(args, metrics, t0, tee):
         # long-read: internal phasing + 9-verdict haplotype filtering; ilmn:
         # no-phasing postfilter (run_clairs_to STEP 4, :1450-1514)
         if res.snv_rows and (apply_hap_filter or apply_postfilter):
-            _apply_chunk_filters(
-                pipe, ch, res, apply_hap_filter, apply_postfilter, args
-            )
+            with metrics.stage("hard_filters"):
+                _apply_chunk_filters(
+                    pipe, ch, res, apply_hap_filter, apply_postfilter, args
+                )
 
         sp = sp_path
         w = VcfWriter(sp, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,

@@ -84,12 +84,14 @@ class CallingPipeline:
         snv_engine: InferenceEngine,
         indel_engine: Optional[InferenceEngine] = None,
         options: PipelineOptions = None,
+        metrics=None,
     ):
         self.fasta = fasta
         self.bam_path = bam_path
         self.snv_engine = snv_engine
         self.indel_engine = indel_engine
         self.opt = options or PipelineOptions()
+        self.metrics = metrics  # optional RunMetrics for sub-stage timing
         self._bam = None          # lazy: pure-Python fallback reader
         self._stream = None       # native sequential-window stream
         self._views_memo = {}     # chunk -> views: calling/filters/prefetch share decodes
@@ -249,9 +251,18 @@ class CallingPipeline:
         )
 
     # ------------------------------------------------------------------
+    def _stage(self, name):
+        if self.metrics is not None:
+            return self.metrics.stage(name)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def call_chunk(self, chunk: Chunk) -> ChunkResult:
         opt = self.opt
-        pe, aff_counts, neg_counts, region_start, region_end = self.build_chunk_views(chunk)
+        with self._stage("decode_tensor_build"):
+            pe, aff_counts, neg_counts, region_start, region_end = \
+                self.build_chunk_views(chunk)
 
         requested = []
         if opt.genotyping_mode and opt.genotyping_sites:
@@ -263,15 +274,16 @@ class CallingPipeline:
         if opt.genotyping_mode == "genotyping":
             snv_pos, indel_pos = requested, []
         else:
-            snv_pos, indel_pos, infos = pe.find_candidates(
-                chunk.ctg_start, chunk.ctg_end,
-                min_bq=self.aff_min_bq,
-                min_coverage=opt.min_coverage,
-                snv_min_af=opt.snv_min_af,
-                indel_min_af=opt.indel_min_af,
-                alternative_base_num=opt.alternative_base_num,
-                select_indel_candidates=opt.select_indel_candidates,
-            )
+            with self._stage("find_candidates"):
+                snv_pos, indel_pos, infos = pe.find_candidates(
+                    chunk.ctg_start, chunk.ctg_end,
+                    min_bq=self.aff_min_bq,
+                    min_coverage=opt.min_coverage,
+                    snv_min_af=opt.snv_min_af,
+                    indel_min_af=opt.indel_min_af,
+                    alternative_base_num=opt.alternative_base_num,
+                    select_indel_candidates=opt.select_indel_candidates,
+                )
             if opt.genotyping_mode == "hybrid":
                 snv_pos = sorted(set(snv_pos) | set(requested))
         if opt.bed_tree is not None and len(opt.bed_tree):
@@ -317,20 +329,22 @@ class CallingPipeline:
         ]
         if not positions:
             return []
-        aff_alt = pe.alt_info_at(positions, min_bq=self.aff_min_bq)
-        if neg_counts is aff_counts:
-            neg_alt = aff_alt
-        else:
-            neg_alt = pe.alt_info_at(positions, min_bq=0)
+        with self._stage("alt_info"):
+            aff_alt = pe.alt_info_at(positions, min_bq=self.aff_min_bq)
+            if neg_counts is aff_counts:
+                neg_alt = aff_alt
+            else:
+                neg_alt = pe.alt_info_at(positions, min_bq=0)
 
         x_aff = np.stack([self._window(aff_counts, p, region_start) for p in positions])
         x_neg = np.stack([self._window(neg_counts, p, region_start) for p in positions])
         cov_aff = np.array([aff_alt[p][1] for p in positions], np.float32)
         cov_neg = np.array([neg_alt[p][1] for p in positions], np.float32)
 
-        batch = engine.run_batch(
-            x_aff.astype(np.float32), x_neg.astype(np.float32), cov_aff, cov_neg
-        )
+        with self._stage("device_infer"):
+            batch = engine.run_batch(
+                x_aff.astype(np.float32), x_neg.astype(np.float32), cov_aff, cov_neg
+            )
         if self.opt.predict_fn:
             self._dump_probabilities(
                 chunk, positions, pe, aff_alt, batch, mode

@@ -274,16 +274,22 @@ def checkpoint_arch(path):
 
 
 def load_checkpoint(path, like_params):
-    """Load a .npz checkpoint into the structure of ``like_params``."""
+    """Load a .npz checkpoint into the structure of ``like_params``.
+
+    ``like_params`` only provides tree structure — ShapeDtypeStruct leaves
+    (jax.eval_shape output) work.  Arrays are loaded host-side and shipped
+    in ONE device_put (a per-leaf jnp.asarray loop costs one backend
+    round-trip per parameter — minutes on a tunneled TPU)."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like_params)
     leaves = []
     for keypath, leaf in flat:
         key = "/".join(str(k) for k in keypath)
-        leaves.append(jnp.asarray(data[key]))
-    return jax.tree_util.tree_unflatten(
+        leaves.append(np.asarray(data[key]))
+    host_tree = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like_params), leaves
     )
+    return jax.device_put(host_tree)
 
 
 def load_checkpoint_auto(path, mode="snv", kind="cvt"):
@@ -301,7 +307,10 @@ def load_checkpoint_auto(path, mode="snv", kind="cvt"):
             )
         else:
             config = cvt_mod.SNV_CVT_CONFIG if mode == "snv" else cvt_mod.INDEL_CVT_CONFIG
-        like = cvt_mod.init(jax.random.PRNGKey(0), config)
+        # eval_shape: tree structure only, no device computation — running
+        # the real init dispatches hundreds of tiny PRNG programs, which
+        # costs minutes per process on a remote/tunneled TPU backend
+        like = jax.eval_shape(lambda: cvt_mod.init(jax.random.PRNGKey(0), config))
     else:
         if arch:
             config = bigru_mod.BiGRUConfig(
@@ -312,5 +321,5 @@ def load_checkpoint_auto(path, mode="snv", kind="cvt"):
             config = (
                 bigru_mod.SNV_BIGRU_CONFIG if mode == "snv" else bigru_mod.INDEL_BIGRU_CONFIG
             )
-        like = bigru_mod.init(jax.random.PRNGKey(1), config)
+        like = jax.eval_shape(lambda: bigru_mod.init(jax.random.PRNGKey(1), config))
     return load_checkpoint(path, like), config

@@ -38,26 +38,43 @@ if a.cpu:
 
 from clairs_to_tpu.bamio import simulate  # noqa: E402
 from clairs_to_tpu.bench.compare import compare_vcf, format_report  # noqa: E402
-from clairs_to_tpu.bench.demo import DEFAULT_ASSET_DIR  # noqa: E402
 from clairs_to_tpu.cli.run import main as cli_main  # noqa: E402
 
 # Platform read profiles (read length / per-base error / coverage), shaped
 # after the reference demo datasets: ONT Q20+ ~70x, Illumina ~50x 150 bp,
 # PacBio Revio HiFi ~60x (reference docs/*_quick_demo.md headers).
+# The eval_profile adds error STRUCTURE (homopolymer context, strand
+# asymmetry, quality decay, bursts) that the training tensor synthesizer
+# (bench/synth.py) does not model — held-out evaluation is decoupled from
+# the training noise process, so these F1 tables measure generalization,
+# not memorization.  They remain simulation-local numbers, NOT comparable
+# to the reference's HCC1395 tables.
 PROFILES = {
-    "ont": dict(read_length=500, error_rate=0.002, coverage=65),
-    "ilmn": dict(read_length=150, error_rate=0.001, coverage=50),
-    "hifi": dict(read_length=1500, error_rate=0.001, coverage=60),
+    "ont": dict(read_length=500, error_rate=0.002, coverage=65,
+                eval_profile=dict(hp_error_mult=4.0, strand_err_mult=1.6,
+                                  qual_decay=6.0, burst_rate=0.08,
+                                  burst_len=40, burst_qual=8)),
+    "ilmn": dict(read_length=150, error_rate=0.001, coverage=50,
+                 eval_profile=dict(hp_error_mult=1.5, strand_err_mult=2.0,
+                                   qual_decay=10.0, burst_rate=0.02,
+                                   burst_len=20, burst_qual=6)),
+    "hifi": dict(read_length=1500, error_rate=0.001, coverage=60,
+                 eval_profile=dict(hp_error_mult=3.0, strand_err_mult=1.2,
+                                   qual_decay=2.0, burst_rate=0.03,
+                                   burst_len=60, burst_qual=10)),
 }
+# Continuous somatic AF spectrum (training uses a bounded uniform range;
+# the demo draws a dense grid including AFs outside the training band).
+AF_GRID = tuple(round(0.05 + 0.01 * i, 2) for i in range(41))  # 0.05..0.45
 
 d = a.out or tempfile.mkdtemp(prefix=f"demo_{a.platform}_")
 ds = simulate.make_dataset(
     os.path.join(d, "data"), seed=a.seed, genome_len=a.genome_len,
     n_snv=20, n_indel=12 if a.include_indels else 0, n_germline=12,
-    somatic_hap_aware=True, **PROFILES[a.platform],
+    somatic_hap_aware=True, af_choices=AF_GRID, **PROFILES[a.platform],
 )
 argv = ["-T", ds["bam"], "-R", ds["fasta"], "-o", os.path.join(d, "out"),
-        "-t", "2", "-p", a.platform, "--model_dir", DEFAULT_ASSET_DIR]
+        "-t", "2", "-p", a.platform]
 if not a.include_indels:
     argv += ["--disable_indel_calling", "true"]
 cli_main(argv)
