@@ -54,6 +54,7 @@ class HaplotypeVerdict:
             setattr(self, f, True)
         self.phaseable = False
         self.strand_bias_p = 1.0
+        self.strand_table = None
 
     @property
     def pass_all(self):
@@ -320,6 +321,7 @@ class HaplotypeFilterEngine:
         all0 = sum(1 for (_s, _sl, _b, _m, _h, rev) in center_info.values() if not rev)
         all1 = sum(1 for (_s, _sl, _b, _m, _h, rev) in center_info.values() if rev)
         r0, r1 = all0 - a0, all1 - a1
+        v.strand_table = ((a0, r0), (a1, r1))
         p_value = fisher_exact([[a0, r0], [a1, r1]])
         v.strand_bias_p = p_value
         if is_snp and p_value < 0.001 or (a0 == 0 or a1 == 0):

@@ -123,6 +123,7 @@ class FilterVerdict:
         self.pass_strand_bias = True
         self.pass_sequence_entropy = True
         self.strand_bias_p = 1.0
+        self.strand_table = None
 
     @property
     def pass_all(self):
@@ -274,6 +275,7 @@ class HardFilterEngine:
         all0 = sum(1 for rev in center_rev.values() if not rev)
         all1 = sum(1 for rev in center_rev.values() if rev)
         r0, r1 = all0 - a0, all1 - a1
+        v.strand_table = ((a0, r0), (a1, r1))
         v.strand_bias_p = fisher_exact([[a0, r0], [a1, r1]])
         if v.strand_bias_p < 0.001:
             v.pass_strand_bias = False
