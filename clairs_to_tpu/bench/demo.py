@@ -75,6 +75,70 @@ def build_labeled_tensors(ds, platform="ont", max_ref_sites=400, seed=0):
     return x, cov, som, positions
 
 
+def build_labeled_tensors_dual(ds, platform="ont", mode="snv",
+                               max_ref_sites=400, seed=0):
+    """BAM-derived labeled tensors through the production pileup, in the
+    dual-BQ views the calling pipeline feeds the nets: AFF at platform
+    min_bq, NEG at min_bq=0 (run_clairs_to:1237 vs :1264).  For min_bq==0
+    platform families the two views are the same array, matching the
+    reference's symlinked negational tensor dir (run_clairs_to:1248-1252).
+
+    Returns (x_aff, x_neg, cov, som, positions).  Labels use the 6-allele
+    semantics in indel mode: som = somatic allele index (0-3 base for a
+    somatic SNV, 4 insertion, 5 deletion, -1 negative); SNV mode labels
+    only somatic SNVs (0-3, -1 negative).
+    """
+    genome = ds["genome"]
+    L = len(genome)
+    bam = BamFile(ds["bam"])
+    pe = PileupEngine(genome, 0, platform=platform)
+    for read in bam.fetch(ds["ctg"], 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG):
+        pe.add_read(read)
+    fam = cfg.platform_family(platform)
+    aff_bq = cfg.MIN_BQ_DICT.get(platform, cfg.MIN_BQ_DICT.get(fam, 0))
+    counts_aff, depth = pe.channel_counts(aff_bq, 0, L)
+    pe.apply_reference_encoding(counts_aff, 0)
+    if aff_bq != 0:
+        counts_neg, _ = pe.channel_counts(0, 0, L)
+        pe.apply_reference_encoding(counts_neg, 0)
+    else:
+        counts_neg = counts_aff
+
+    snv_pos, indel_pos, infos = pe.find_candidates(
+        0, L, min_bq=aff_bq, select_indel_candidates=(mode == "indel"))
+    rng = np.random.default_rng(seed)
+    ref_sites = [
+        int(p)
+        for p in rng.integers(FLANK + 1, L - FLANK - 1, size=max_ref_sites)
+        if p not in infos
+    ]
+    pool = set(snv_pos) | set(ref_sites)
+    if mode == "indel":
+        pool |= set(indel_pos)
+    positions = [p for p in sorted(pool) if FLANK <= p < L - FLANK - 1]
+
+    truth = {}
+    for v in ds["variants"]:
+        if v.germline:
+            continue
+        if v.kind == "snv":
+            truth[v.pos] = "ACGT".index(v.alt)
+        elif mode == "indel" and v.kind in ("ins", "del"):
+            truth[v.pos] = 4 if v.kind == "ins" else 5
+
+    def windows(counts):
+        return np.stack(
+            [counts[p - FLANK : p + FLANK + 1, : cfg.PILEUP_CHANNEL_SIZE]
+             for p in positions]
+        ).astype(np.float32)
+
+    x_aff = windows(counts_aff)
+    x_neg = x_aff if counts_neg is counts_aff else windows(counts_neg)
+    cov = np.array([depth[p] for p in positions], np.float32)
+    som = np.array([truth.get(p, -1) for p in positions], np.int32)
+    return x_aff, x_neg, cov, som, positions
+
+
 @dataclass
 class DemoResult:
     f1: float

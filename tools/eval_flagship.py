@@ -25,6 +25,10 @@ ap.add_argument("--coverage", type=int, default=55)
 ap.add_argument("--qual_cutoff", type=float, default=8)
 ap.add_argument("--platform", default="ont")
 ap.add_argument("--tpu", action="store_true")
+ap.add_argument("--eval_grade", action="store_true",
+                help="platform-shaped reads + evaluation-grade error "
+                     "structure (quick_demo PROFILES) instead of the plain "
+                     "sim process")
 a = ap.parse_args()
 
 if not a.tpu:
@@ -86,6 +90,13 @@ for seed in [int(s) for s in a.seeds.split(",")]:
     kw = dict(seed=seed, genome_len=a.genome_len, coverage=a.coverage,
               n_germline=max(a.genome_len // 4000, 6),
               lowbq_rate=a.lowbq_rate)
+    if a.eval_grade:
+        # platform-shaped reads + evaluation-grade error STRUCTURE
+        # (homopolymer/strand/burst processes the training synthesizer does
+        # not model) — same decoupling as tools/quick_demo.py PROFILES
+        from clairs_to_tpu.bench.profiles import PROFILES
+        from clairs_to_tpu.config import platform_family
+        kw.update(PROFILES[platform_family(a.platform)])
     if indel_mode:
         kw.update(n_snv=0, n_indel=n_var)
     else:

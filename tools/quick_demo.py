@@ -40,29 +40,10 @@ from clairs_to_tpu.bamio import simulate  # noqa: E402
 from clairs_to_tpu.bench.compare import compare_vcf, format_report  # noqa: E402
 from clairs_to_tpu.cli.run import main as cli_main  # noqa: E402
 
-# Platform read profiles (read length / per-base error / coverage), shaped
-# after the reference demo datasets: ONT Q20+ ~70x, Illumina ~50x 150 bp,
-# PacBio Revio HiFi ~60x (reference docs/*_quick_demo.md headers).
-# The eval_profile adds error STRUCTURE (homopolymer context, strand
-# asymmetry, quality decay, bursts) that the training tensor synthesizer
-# (bench/synth.py) does not model — held-out evaluation is decoupled from
-# the training noise process, so these F1 tables measure generalization,
-# not memorization.  They remain simulation-local numbers, NOT comparable
-# to the reference's HCC1395 tables.
-PROFILES = {
-    "ont": dict(read_length=500, error_rate=0.002, coverage=65,
-                eval_profile=dict(hp_error_mult=4.0, strand_err_mult=1.6,
-                                  qual_decay=6.0, burst_rate=0.08,
-                                  burst_len=40, burst_qual=8)),
-    "ilmn": dict(read_length=150, error_rate=0.001, coverage=50,
-                 eval_profile=dict(hp_error_mult=1.5, strand_err_mult=2.0,
-                                   qual_decay=10.0, burst_rate=0.02,
-                                   burst_len=20, burst_qual=6)),
-    "hifi": dict(read_length=1500, error_rate=0.001, coverage=60,
-                 eval_profile=dict(hp_error_mult=3.0, strand_err_mult=1.2,
-                                   qual_decay=2.0, burst_rate=0.03,
-                                   burst_len=60, burst_qual=10)),
-}
+# Platform read profiles + evaluation-grade error structure: shared with
+# tools/eval_flagship.py --eval_grade (see bench/profiles.py docstring for
+# the decoupling rationale).
+from clairs_to_tpu.bench.profiles import PROFILES  # noqa: E402
 # Continuous somatic AF spectrum (training uses a bounded uniform range;
 # the demo draws a dense grid including AFs outside the training band).
 AF_GRID = tuple(round(0.05 + 0.01 * i, 2) for i in range(41))  # 0.05..0.45
