@@ -139,5 +139,9 @@ def test_default_model_dir_resolution():
     assert p is not None and p.endswith("flagship_ont_snv") and os.path.isdir(p)
     # ont_r10_dorado_sup_5khz-style aliases collapse to the ont family
     assert default_model_dir("ont_r10_dorado_sup_4khz") == p
-    # platforms without their own bundle fall back to the ONT flagship
-    assert default_model_dir("ilmn") is not None
+    # ilmn/hifi resolve their own bundles (promoted round 2); an unknown
+    # family would fall back to the ONT flagship with a loud warning
+    pi = default_model_dir("ilmn")
+    assert pi is not None and pi.endswith("flagship_ilmn_snv")
+    ph = default_model_dir("hifi_revio")
+    assert ph is not None and ph.endswith("flagship_hifi_snv")
