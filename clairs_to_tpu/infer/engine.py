@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clairs_to_tpu import config as cfg
+from clairs_to_tpu.infer import aot
 from clairs_to_tpu.models import cvt, bigru
 from clairs_to_tpu.ops import posterior as post
 
@@ -133,11 +134,43 @@ class InferenceEngine:
             self.neg_params = jax.device_put(neg_params, self._replicated)
         else:
             self._data_sharding = None
-            self.aff_params = aff_params
-            self.neg_params = neg_params
+            # commit params to the device once — otherwise every forward
+            # re-transfers ~35 MB of host numpy through the (tunneled) PCIe
+            self.aff_params = jax.device_put(aff_params)
+            self.neg_params = jax.device_put(neg_params)
 
         self._forward = jax.jit(self._forward_impl)
         self._forward_fused = jax.jit(self._forward_fused_impl)
+        if aot.aot_enabled():
+            try:
+                self._aot_prepare()
+            except Exception as e:  # noqa: BLE001 — AOT is an optimization
+                print(f"[INFO] AOT compile unavailable "
+                      f"({type(e).__name__}: {e}); using jit dispatch")
+
+    def _aot_prepare(self):
+        """AOT-compile ``_forward`` at construction (infer/aot.py).
+
+        Replaces the first-batch jit compile — measured ~290 s/engine on the
+        tunneled v5e with an unreliable persistent-cache key — with a ~25 s
+        cold / ~2 s warm ahead-of-time compile keyed stably."""
+        B = self.device_batch
+        x = np.zeros((B, 33, 34), np.float32)
+        cov = np.ones((B,), np.float32)
+        desc = dict(
+            program="forward",
+            mode=self.mode,
+            cvt_config=repr(self.cvt_config),
+            bigru_config=repr(self.bigru_config),
+            device_batch=B,
+            matmul_precision=self.matmul_precision,
+            use_pallas=self.use_pallas,
+            n_devices=self.mesh.size if self.mesh is not None else 1,
+        )
+        self._forward = aot.load_or_compile(
+            self._forward, (self.aff_params, self.neg_params, x, x, cov, cov),
+            desc,
+        )
 
     # ---- device programs ------------------------------------------------
     def _net_probs(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
