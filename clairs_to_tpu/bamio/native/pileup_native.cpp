@@ -1127,4 +1127,90 @@ void ref_negate_channels(
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Fused per-chunk reductions for the hard/haplotype filter index
+// (postcall/hardfilter.py::FilterIndex).  The index needs a dozen per-column
+// and per-entry reductions; doing them as separate numpy passes costs tens
+// of seconds on deep chunks (10^7-10^8 entries) — these two fused passes
+// replace all of them.  ref_tok: int16 per column in [p0, p0+m):
+// 0-3 = ACGT, 10 = sentinel (never matches an entry).
+
+static const int16_t FILT_BASE_ID[11] = {0, 1, 2, 3, 0, 1, 2, 3, 8, 9, 10};
+
+void entry_filter_stats(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int32_t* read_id, const int8_t* eflags,
+    int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq, int32_t ins_cap,
+    const int16_t* ref_tok,
+    int64_t* depth, int64_t* nstarts, int64_t* nends,
+    int64_t* nonref_cnt, int64_t* col_ins,
+    int64_t* out_n_sel, int64_t* out_n_nonref, int64_t* out_max_read) {
+  for (int64_t c = 0; c < m; c++)
+    depth[c] = nstarts[c] = nends[c] = nonref_cnt[c] = col_ins[c] = 0;
+  int64_t n_sel = 0, n_nonref = 0, max_read = -1;
+  for (int64_t j = 0; j < n; j++) {
+    if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
+    int64_t c = pos[j] - p0;
+    if (c < 0 || c >= m) continue;
+    n_sel++;
+    depth[c]++;
+    if (read_id[j] > max_read) max_read = read_id[j];
+    if (eflags[j] & 1) nstarts[c]++;
+    if (eflags[j] & 2) nends[c]++;
+    int16_t b = FILT_BASE_ID[(int)code[j]];
+    bool is_ref = (ikind[j] == 0) && (b == ref_tok[c]);
+    if (!is_ref) {
+      n_nonref++;
+      nonref_cnt[c]++;
+      if (ikind[j] == 1 && ilen[j] > 2)
+        col_ins[c] += (ilen[j] < ins_cap ? ilen[j] : ins_cap);
+    }
+  }
+  *out_n_sel = n_sel;
+  *out_n_nonref = n_nonref;
+  *out_max_read = max_read;
+}
+
+void entry_filter_extract(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int32_t* read_id, const int8_t* eflags,
+    int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq,
+    const int16_t* ref_tok,
+    const int8_t* col_side,   // 0 = unmarked col, 1 = starts marked, 2 = ends
+    int64_t* sort_ofs,        // [m] column start offsets (consumed)
+    int64_t* nr_ofs,          // [m] nonref column start offsets (consumed)
+    int32_t* orig,            // [n_sel] counting-sorted original entry rows
+    int32_t* nr_entry, int64_t* nr_pos, int32_t* nr_read,
+    int8_t* nr_base, int8_t* nr_ik, int32_t* nr_ilen,
+    int64_t* rse_pos, int32_t* rse_read, int64_t* out_n_rse) {
+  int64_t n_rse = 0;
+  for (int64_t j = 0; j < n; j++) {
+    if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
+    int64_t c = pos[j] - p0;
+    if (c < 0 || c >= m) continue;
+    orig[sort_ofs[c]++] = (int32_t)j;
+    int16_t b = FILT_BASE_ID[(int)code[j]];
+    bool is_ref = (ikind[j] == 0) && (b == ref_tok[c]);
+    if (!is_ref) {
+      int64_t k = nr_ofs[c]++;
+      nr_entry[k] = (int32_t)j;
+      nr_pos[k] = pos[j];
+      nr_read[k] = read_id[j];
+      nr_base[k] = (int8_t)b;
+      nr_ik[k] = ikind[j];
+      nr_ilen[k] = ilen[j];
+    }
+    int8_t side = col_side[c];
+    if ((side == 1 && (eflags[j] & 1)) || (side == 2 && (eflags[j] & 2))) {
+      rse_pos[n_rse] = pos[j];
+      rse_read[n_rse] = read_id[j];
+      n_rse++;
+    }
+  }
+  *out_n_rse = n_rse;
+}
+
 }  // extern "C"

@@ -50,22 +50,25 @@ def select_hetero_snps(records, var_pct_full=0.3):
 
 
 def _site_read_alleles(pileup_engine, het_sites, min_bq=0, min_mq=20):
-    """For each het site: {read_id: allele} with allele 0=ref,1=alt."""
+    """For each het site: {read_id: allele} with allele 0=ref,1=alt.
+
+    Selects only the entries AT the het sites (via a position mask) before
+    sorting — the full entry table can hold 10⁷-10⁸ rows and a whole-table
+    argsort dominated this stage in round 2."""
+    from clairs_to_tpu.bamio import native
+
     a = pileup_engine._finalize()
-    sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] < 8) & (a["ikind"] == 0)
-    idx = np.nonzero(sel)[0]
-    pos = a["pos"][idx]
-    order = np.argsort(pos, kind="stable")
-    idx, pos = idx[order], pos[order]
+    want = np.unique(np.asarray([p for (p, _r, _a) in het_sites], np.int64))
+    groups = native.group_entries_at(a["pos"], want)
     out = []
-    want = [p for (p, _r, _a) in het_sites]
-    lo = np.searchsorted(pos, want, side="left")
-    hi = np.searchsorted(pos, want, side="right")
-    for k, (p, ref, alt) in enumerate(het_sites):
+    for (p, ref, alt) in het_sites:
         ref_code = "ACGT".index(ref)
         alt_code = "ACGT".index(alt)
         alleles = {}
-        for j in idx[lo[k] : hi[k]]:
+        for j in groups.get(int(p), ()):
+            if (a["mq"][j] < min_mq or a["bq"][j] < min_bq
+                    or a["code"][j] >= 8 or a["ikind"][j] != 0):
+                continue
             base = int(a["code"][j]) % 4
             rid = int(a["read_id"][j])
             if base == ref_code:

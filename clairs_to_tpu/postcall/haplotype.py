@@ -23,17 +23,16 @@ NoAncestry/MultiHap/StrandBias/LowSeqEntropy; phaseable calls get INFO 'H';
 INFO gains SB=p (update_filter_info, :742-796).
 """
 
-from collections import Counter, defaultdict
-
 import numpy as np
 
 from clairs_to_tpu import config as cfg
 from clairs_to_tpu.postcall.hardfilter import (
     EPS,
-    EPS_RSE,
     FLANKING,
     MIN_HOM_GERMLINE_AF,
     SEQUENCE_ENTROPY_THRESHOLD,
+    FilterIndex,
+    _BASE_ID,
     calculate_sequence_entropy,
     fisher_exact,
 )
@@ -62,7 +61,11 @@ class HaplotypeVerdict:
 
 
 class HaplotypeFilterEngine:
-    """Runs the 9 verdicts against a (haplotagged) entry table."""
+    """Runs the 9 verdicts against a (haplotagged) entry table.
+
+    Site-independent work lives in the shared FilterIndex (hardfilter.py);
+    germline-column states (⑤⑥) are memoized per germline site since every
+    candidate within ±100 bp revisits them."""
 
     def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
                  max_co_exist_read_num=2,
@@ -83,94 +86,104 @@ class HaplotypeFilterEngine:
         self.disable_rse = disable_read_start_end_filtering
         self.hetero_germline = sorted(hetero_germline or [])
         self.homo_germline = sorted(homo_germline or [])
-        a = self.pe._finalize()
-        self.sel = (
-            (a["mq"] >= self.min_mq) & (a["bq"] >= self.min_bq) & (a["code"] != 10)
-        )
-        idx = np.nonzero(self.sel)[0]
-        pos = a["pos"][idx]
-        order = np.argsort(pos, kind="stable")
-        self.idx = idx[order]
-        self.pos_sorted = pos[order]
-        self.a = a
+        self.ix = FilterIndex(pileup_engine, min_bq, min_mq)
+        self._het_memo = {}
+        self._hom_memo = {}
 
-    def _entries_at(self, p):
-        lo = np.searchsorted(self.pos_sorted, p, side="left")
-        hi = np.searchsorted(self.pos_sorted, p, side="right")
-        return self.idx[lo:hi]
+    def _het_col(self, gp, gab):
+        """Memoized ⑤ state at het-germline site gp: (carrier read ids,
+        read ids at column, hp of last entry per read).
 
-    def _string(self, j):
-        return self.pe._entry_string(j).upper()
+        Carriers match over ALL entries of a read (haplotype_filtering.py:
+        445-458 loops raw mpileup items); hp is dict last-wins."""
+        key = (gp, gab)
+        st = self._het_memo.get(key)
+        if st is not None:
+            return st
+        ix = self.ix
+        grb = ix.pe._ref_base(gp)
+        rows = ix.col_rows(gp)
+        carr_mask = self._germline_match_mask(rows, grb, gab, which="het")
+        carriers = np.unique(ix.a["read_id"][rows][carr_mask])
+        last_rows, reads_u = ix.center_state(gp)
+        st = (carriers, reads_u, ix.a["hp"][last_rows])
+        self._het_memo[key] = st
+        return st
 
-    def _alt_match(self, s, suffix_len, ref_base, alt_base, is_snp, is_ins, is_del):
-        if is_snp:
-            return s == alt_base
-        if is_ins:
-            return "+" in s and s.replace("+", "") == alt_base
-        if is_del:
-            # reference: len(ref_base) == len(value[1]) where value[1] is
-            # '-<deleted>' (suffix incl '-'); suffix_len = deleted length
-            return suffix_len is not None and suffix_len + 1 == len(ref_base)
-        return False
+    def _hom_col(self, gp, gab):
+        """Memoized ⑥ state at hom-germline site gp (dict last-wins for
+        both the column view and homo_alt, :470-500)."""
+        key = (gp, gab)
+        st = self._hom_memo.get(key)
+        if st is not None:
+            return st
+        ix = self.ix
+        grb = ix.pe._ref_base(gp)
+        last_rows, reads_u = ix.center_state(gp)
+        homo_mask = self._germline_match_mask(last_rows, grb, gab, which="hom")
+        hp_u = ix.a["hp"][last_rows]
+        hcount = np.bincount(hp_u[homo_mask], minlength=3)[:3]
+        acount = np.bincount(hp_u, minlength=3)[:3]
+        st = (reads_u, reads_u[homo_mask], hcount, acount)
+        self._hom_memo[key] = st
+        return st
+
+    def _germline_match_mask(self, rows, grb, gab, which):
+        """Which entries carry the germline alt (:442-458 / :474-500).
+
+        SNV: string equality (token match).  INS: the reference does a
+        substring test of gab[:2] (het) / gab[1:2] (hom) inside the
+        inserted sequence.  DEL: any deletion suffix."""
+        ix = self.ix
+        ik = ix.a["ikind"][rows]
+        if len(grb) == 1 and len(gab) == 1:
+            i = "ACGT".find(gab)
+            if i < 0:
+                return np.zeros(len(rows), bool)
+            return (ik == 0) & (_BASE_ID[ix.a["code"][rows]] == i)
+        if len(grb) == 1 and len(gab) > 1:
+            needle = gab[:2] if which == "het" else gab[1:2]
+            out = np.zeros(len(rows), bool)
+            for k in np.nonzero(ik == 1)[0]:
+                if needle in ix.pe._iseq[int(rows[k])].upper():
+                    out[k] = True
+            return out
+        if len(grb) > 1 and len(gab) == 1:
+            return ik == 2
+        return np.zeros(len(rows), bool)
 
     def verdict(self, pos0, ref_base, alt_base, af=None):
-        pe, a = self.pe, self.a
+        ix = self.ix
         v = HaplotypeVerdict()
         is_snp = len(ref_base) == 1 and len(alt_base) == 1
-        is_ins = len(ref_base) == 1 and len(alt_base) > 1
-        is_del = len(ref_base) > 1 and len(alt_base) == 1
         af = af if af is not None else 1.0
 
         win_lo = max(pos0 - FLANKING, 0)
         win_hi = pos0 + FLANKING
 
-        center = self._entries_at(pos0)
-        center_info = {}
-        for j in center:
-            rid = int(a["read_id"][j])
-            suffix_len = int(a["ilen"][j]) if a["ikind"][j] == 2 else None
-            center_info[rid] = (
-                self._string(j),
-                suffix_len,
-                int(a["bq"][j]),
-                int(a["mq"][j]),
-                int(a["hp"][j]),
-                (4 <= a["code"][j] < 8) or a["code"][j] == 9,
-            )
-
-        alt_reads = {
-            rid
-            for rid, (s, sl, _b, _m, _h, _r) in center_info.items()
-            if self._alt_match(s, sl, ref_base, alt_base, is_snp, is_ins, is_del)
-        }
+        rows, reads = ix.center_state(pos0)
+        alt_mask = ix.alt_rows_mask(rows, ref_base, alt_base)
+        alt_rows = rows[alt_mask]
+        alt_ids = reads[alt_mask]
+        n_alt = len(alt_ids)
 
         # ① / ② average alt BQ / MQ (haplotype_filtering.py:631-658)
-        bqs = [center_info[r][2] for r in alt_reads]
-        mqs = [center_info[r][3] for r in alt_reads]
-        if bqs and sum(bqs) / len(bqs) <= cfg.ONT_MIN_BQ:
-            v.pass_bq = False
-        if mqs and sum(mqs) / len(mqs) <= cfg.MIN_MQ:
-            v.pass_mq = False
+        if n_alt:
+            if ix.a["bq"][alt_rows].mean() <= cfg.ONT_MIN_BQ:
+                v.pass_bq = False
+            if ix.a["mq"][alt_rows].mean() <= cfg.MIN_MQ:
+                v.pass_mq = False
 
         # ③ read start/end
-        if not self.disable_rse and alt_reads:
-            rse_reads = set()
-            for p in range(win_lo, win_hi + 1):
-                ents = self._entries_at(p)
-                if len(ents) == 0:
-                    continue
-                starts = [j for j in ents if a["eflags"][j] & 1]
-                ends = [j for j in ents if a["eflags"][j] & 2]
-                marked = starts if len(starts) > len(ends) else ends
-                if len(marked) >= len(ents) * EPS_RSE:
-                    rse_reads |= {int(a["read_id"][j]) for j in marked}
-            if len(rse_reads & alt_reads) >= 0.3 * len(alt_reads):
+        if not self.disable_rse and n_alt:
+            if ix.rse_hits(win_lo, win_hi, alt_ids) >= 0.3 * n_alt:
                 v.pass_read_start_end = False
 
-        # haplotype memberships (hap 0 = unphased)
-        hap_of = {rid: info[4] for rid, info in center_info.items()}
-        alt_hap = Counter(hap_of.get(r, 0) for r in alt_reads)
-        hp1, hp2 = alt_hap[1], alt_hap[2]
+        # haplotype memberships (hap 0 = unphased; dict last-wins)
+        hp_center = ix.a["hp"][rows]
+        alt_hp = hp_center[alt_mask]
+        hp1 = int((alt_hp == 1).sum())
+        hp2 = int((alt_hp == 2).sum())
         MAX, MIN = max(hp1, hp2), min(hp1, hp2)
 
         # ⑦ both-haplotype low-AF check (:375-387)
@@ -185,107 +198,40 @@ class HaplotypeFilterEngine:
         hap_index = 0 if not is_phasable else (1 if hp1 > hp2 else 2)
 
         # ④ co-exist / cluster
-        match_count = 0
-        ins_length = 0
-        for p in range(win_lo, win_hi + 1):
-            if p == pos0:
-                continue
-            ents = self._entries_at(p)
-            if len(ents) == 0:
-                continue
-            rb = pe._ref_base(p)
-            strings = {}
-            for j in ents:
-                strings[int(a["read_id"][j])] = self._string(j)
-            ins_length += sum(
-                min(len(s.split("+")[1]), FLANKING * 2)
-                for s in strings.values()
-                if "+" in s and len(s.split("+")[1]) > 2
-            )
-            alt_list = [
-                s for rid, s in strings.items()
-                if rid in alt_reads and s != rb and s not in "#*"
-            ]
-            if not alt_list:
-                continue
-            top_base, top_count = Counter(alt_list).most_common(1)[0]
-            if (
-                top_count >= len(alt_reads) * (1 + EPS)
-                or top_count <= len(alt_reads) * (1 - EPS)
-            ):
-                continue
-            col_counter = Counter(strings.values())
-            if len(col_counter) == 1 and col_counter.get(rb, 0) > 0:
-                continue
-            if col_counter[top_base] >= top_count * (1 + EPS):
-                continue
-            match_count += 1
-        depth = max(len(center_info), 1)
+        match_count, ins_length = ix.co_exist(pos0, win_lo, win_hi, alt_ids)
+        depth = max(len(reads), 1)
         if match_count >= self.max_co_exist or ins_length / depth > 3:
             v.pass_co_exist = False
 
         # ⑤ ancestral het-germline support (:437-468)
         if hap_index > 0:
-            alt_on_hap = {r for r in alt_reads if hap_of.get(r, 0) == hap_index}
+            alt_on_hap = set(alt_ids[alt_hp == hap_index].tolist())
             for gp, gab in self.hetero_germline:
                 if not (win_lo <= gp <= win_hi) or gp == pos0:
                     continue
-                ents = self._entries_at(gp)
-                if len(ents) == 0:
+                carriers, reads_u, hp_u = self._het_col(gp, gab)
+                if len(reads_u) == 0:
                     continue
-                grb = pe._ref_base(gp)
-                carriers = set()
-                for j in ents:
-                    rid = int(a["read_id"][j])
-                    s = self._string(j)
-                    sl = int(a["ilen"][j]) if a["ikind"][j] == 2 else None
-                    if len(grb) == 1 and len(gab) == 1:
-                        if s == gab:
-                            carriers.add(rid)
-                    elif len(grb) == 1 and len(gab) > 1:
-                        if "+" in s and gab[:2] in s.split("+")[1]:
-                            carriers.add(rid)
-                    elif len(grb) > 1 and len(gab) == 1:
-                        if "-" in s:
-                            carriers.add(rid)
-                hap_at = {
-                    int(a["read_id"][j]): int(a["hp"][j]) for j in ents
-                }
-                phased_carriers = {r for r in carriers if hap_at.get(r, 0) == hap_index}
-                if len(phased_carriers) == 0 or len(phased_carriers) * 2 < float(len(carriers)):
+                phased = set(reads_u[hp_u == hap_index].tolist()) & \
+                    set(carriers.tolist())
+                if len(phased) == 0 or len(phased) * 2 < float(len(carriers)):
                     continue
-                if len(alt_on_hap & phased_carriers) == 0:
+                if not (alt_on_hap & phased):
                     v.pass_hetero = False
                     break
 
         # ⑥ hom-germline carryover (:470-529)
+        alt_set = set(alt_ids.tolist())
         for gp, gab in self.homo_germline:
             # the reference drops the candidate site itself when building
             # the HAP_INFO germline strings (p_gl == pos, :1011)
             if not (win_lo <= gp <= win_hi) or gp == pos0:
                 continue
-            ents = self._entries_at(gp)
-            if len(ents) == 0:
+            reads_u, homo_ids, hcount, acount = self._hom_col(gp, gab)
+            if len(reads_u) == 0:
                 continue
-            grb = pe._ref_base(gp)
-            col = {}
-            for j in ents:
-                col[int(a["read_id"][j])] = (self._string(j), int(a["hp"][j]))
-            if len(grb) == 1 and len(gab) == 1:
-                homo_alt = {r for r, (s, _h) in col.items() if s == gab}
-            elif len(grb) == 1 and len(gab) > 1:
-                homo_alt = {
-                    r for r, (s, _h) in col.items()
-                    if "+" in s and gab[1:2] in s.split("+")[1]
-                }
-            elif len(grb) > 1 and len(gab) == 1:
-                homo_alt = {r for r, (s, _h) in col.items() if "-" in s}
-            else:
-                homo_alt = set()
-            hcount = Counter(col[r][1] for r in homo_alt)
-            acount = Counter(h for (_s, h) in col.values())
-            tot = acount[0] + acount[1] + acount[2]
-            af_g = (hcount[0] + hcount[1] + hcount[2]) / float(tot) if tot else 0.0
+            tot = int(acount.sum())
+            af_g = float(hcount.sum()) / tot if tot else 0.0
 
             def _phasable(all_list, hlist):
                 if all_list[1] * all_list[2] == 0:
@@ -296,31 +242,32 @@ class HaplotypeFilterEngine:
                 return True
 
             if af_g < MIN_HOM_GERMLINE_AF or _phasable(
-                [acount[0], acount[1], acount[2]], [hcount[0], hcount[1], hcount[2]]
+                [int(x) for x in acount], [int(x) for x in hcount]
             ):
                 continue
-            inter = set(col.keys()) & alt_reads
+            inter = set(reads_u.tolist()) & alt_set
             if len(inter) == 0:
                 continue
-            overlap = homo_alt & inter
+            overlap = set(homo_ids.tolist()) & inter
             if len(overlap) == 0 or len(overlap) / len(inter) < EPS:
                 v.pass_homo = False
                 break
 
         # phaseability flag for INFO 'H' (:538-545)
-        all_hap = Counter(hap_of.values())
+        all1 = int((hp_center == 1).sum())
+        all2 = int((hp_center == 2).sum())
         v.phaseable = (
-            all_hap[1] * all_hap[2] > 0
+            all1 * all2 > 0
             and hp1 * hp2 == 0
             and (hp1 > self.max_co_exist or hp2 > self.max_co_exist)
         )
 
         # ⑧ strand bias, with the reference's precedence quirk preserved
-        a0 = sum(1 for r in alt_reads if not center_info[r][5])
-        a1 = sum(1 for r in alt_reads if center_info[r][5])
-        all0 = sum(1 for (_s, _sl, _b, _m, _h, rev) in center_info.values() if not rev)
-        all1 = sum(1 for (_s, _sl, _b, _m, _h, rev) in center_info.values() if rev)
-        r0, r1 = all0 - a0, all1 - a1
+        rev = ix.rev_at(rows)
+        a1 = int((rev & alt_mask).sum())
+        a0 = n_alt - a1
+        nrev = int(rev.sum())
+        r0, r1 = len(reads) - nrev - a0, nrev - a1
         v.strand_table = ((a0, r0), (a1, r1))
         p_value = fisher_exact([[a0, r0], [a1, r1]])
         v.strand_bias_p = p_value
@@ -333,7 +280,7 @@ class HaplotypeFilterEngine:
         if not is_snp:
             lo = pos0 - cfg.FLANKING_BASE_NUM
             hi = pos0 + cfg.FLANKING_BASE_NUM + 1
-            ref_seq = "".join(pe._ref_base(p) for p in range(lo, hi))
+            ref_seq = "".join(ix.pe._ref_base(p) for p in range(lo, hi))
             if calculate_sequence_entropy(ref_seq, cfg.NO_OF_POSITIONS) < SEQUENCE_ENTROPY_THRESHOLD:
                 v.pass_sequence_entropy = False
 

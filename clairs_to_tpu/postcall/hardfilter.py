@@ -25,7 +25,6 @@ The filter view matches the reference's mpileup invocation: --min-MQ 20
 """
 
 import math
-from collections import Counter, defaultdict
 
 import numpy as np
 
@@ -79,41 +78,29 @@ def fisher_exact(table):
 
 
 def calculate_sequence_entropy(sequence, entropy_window, kmer=5):
-    """Sliding k-mer entropy (postfilter_variants.py:90-135)."""
-    count_repeat_kmer_counts = [0] * (entropy_window + 2)
-    count_repeat_kmer_counts[0] = entropy_window
-    entropy = [0.0] * (entropy_window + 2)
-    for i in range(1, entropy_window + 2):
-        e = 1.0 / entropy_window * i
-        entropy[i] = e * math.log(e)
-    entropy_mul = -1 / math.log(entropy_window)
-    entropy_kmer_space = 1 << (2 * kmer)
-    kmer_hash_counts = [0] * entropy_kmer_space
-    mask = -1 if kmer > 15 else ~((-1) << (2 * kmer))
-    kmer_suffix, kmer_prefix = 0, 0
-    i = 0
-    i2 = -entropy_window
-    entropy_sum = 0.0
-    while i2 < len(sequence):
-        if i < len(sequence):
-            n = BASE2NUM.get(sequence[i], 0)
-            kmer_suffix = ((kmer_suffix << 2) | n) & mask
-            count_repeat_kmer_counts[kmer_hash_counts[kmer_suffix]] -= 1
-            entropy_sum -= entropy[kmer_hash_counts[kmer_suffix]]
-            kmer_hash_counts[kmer_suffix] += 1
-            count_repeat_kmer_counts[kmer_hash_counts[kmer_suffix]] += 1
-            entropy_sum += entropy[kmer_hash_counts[kmer_suffix]]
-        if i2 >= 0 and i < len(sequence):
-            n2 = BASE2NUM.get(sequence[i2], 0)
-            kmer_prefix = ((kmer_prefix << 2) | n2) & mask
-            count_repeat_kmer_counts[kmer_hash_counts[kmer_prefix]] -= 1
-            entropy_sum -= entropy[kmer_hash_counts[kmer_prefix]]
-            kmer_hash_counts[kmer_prefix] -= 1
-            count_repeat_kmer_counts[kmer_hash_counts[kmer_prefix]] += 1
-            entropy_sum += entropy[kmer_hash_counts[kmer_prefix]]
-        i += 1
-        i2 += 1
-    return entropy_sum * entropy_mul
+    """Shannon entropy of the k-mer multiset over the final
+    ``entropy_window`` k-mer frames of ``sequence``.
+
+    Direct histogram formulation of the quantity the reference computes
+    with an incremental enter/leave recurrence (postfilter_variants.py:
+    90-135): frames are the rolling 2-bit-packed k-mers ending at each
+    base (implicitly left-padded with code-0 bases), the last
+    ``entropy_window`` of which survive in the reference's final counter
+    state; entropy is normalized by ``log(entropy_window)``.  Validated
+    against the reference by tests/test_golden_filters.py.
+    """
+    W = entropy_window
+    n = np.array([BASE2NUM.get(ch, 0) for ch in sequence], dtype=np.int64)
+    if len(n) == 0:
+        return 0.0
+    padded = np.concatenate([np.zeros(kmer - 1, np.int64), n])
+    weights = 4 ** np.arange(kmer - 1, -1, -1, dtype=np.int64)
+    frames = np.lib.stride_tricks.sliding_window_view(padded, kmer) @ weights
+    frames &= (1 << (2 * kmer)) - 1
+    frames = frames[max(0, len(frames) - W):]
+    counts = np.unique(frames, return_counts=True)[1]
+    freq = counts / float(W)
+    return float(-(freq * np.log(freq)).sum() / math.log(W))
 
 
 class FilterVerdict:
@@ -135,6 +122,368 @@ class FilterVerdict:
         )
 
 
+_INDEL_NONE, _INDEL_INS, _INDEL_DEL = 0, 1, 2
+# base-identity of an uppercased entry: codes 0-7 fold to ACGT 0-3,
+# 8 ('*') and 9 ('#') stay distinct; 10 is the ref-token sentinel for
+# non-ACGT / out-of-range reference bases (no entry ever produces it)
+_BASE_ID = np.array([0, 1, 2, 3, 0, 1, 2, 3, 8, 9, 10], np.int16)
+_REF_TOK = np.full(256, 10, np.int16)
+for _i, _ch in enumerate("ACGT"):
+    _REF_TOK[ord(_ch)] = _i
+
+
+class FilterIndex:
+    """Per-chunk vectorized index backing the hard/haplotype filter verdicts.
+
+    Replaces per-site Python loops over ±100 bp of per-entry strings (the
+    round-2 bottleneck: ≥64 ms/site) with chunk-level precomputes on the
+    columnar entry table, sized so that construction itself stays cheap on
+    deep chunks (the table can hold 10⁷-10⁸ entries):
+
+      * a stable counting-sort permutation (``orig`` + per-column offsets)
+        giving O(1) access to any column's entries in original order — the
+        only full-table sort;
+      * heavy per-entry arrays (integer *tokens* encoding the uppercased
+        mpileup entry string, read ids) only for the ~1-2 %% of entries that
+        differ from the reference base — the only entries the
+        variant-cluster verdict ever inspects;
+      * per-column depth, inserted-length prefix sums, pure-ref-column
+        flags, and (pos, token) count lookups;
+      * the read-start/end "marked read" set, which the reference
+        recomputes per site although it is site-independent
+        (postfilter_variants.py:419-430, haplotype_filtering.py:358-373).
+    """
+
+    def __init__(self, pileup_engine, min_bq, min_mq):
+        pe = pileup_engine
+        a = pe._finalize()
+        self.pe = pe
+        self.a = a
+        n = len(a["pos"])
+        if n == 0:
+            self._init_empty()
+            return
+        self.p0 = int(a["pos"].min())
+        self.p1 = int(a["pos"].max()) + 1
+        m = self.p1 - self.p0
+
+        # ref token per column
+        ref_lo = self.p0 - pe.ref_start
+        ref_arr = np.frombuffer(pe.ref_seq.encode("latin-1"), np.uint8)
+        self.ref_tok = np.full(m, 10, np.int16)
+        src_lo, src_hi = max(ref_lo, 0), min(ref_lo + m, len(ref_arr))
+        if src_hi > src_lo:
+            self.ref_tok[src_lo - ref_lo: src_hi - ref_lo] = \
+                _REF_TOK[ref_arr[src_lo:src_hi]]
+
+        from clairs_to_tpu.bamio import native
+        lib = native.get_lib()
+        if lib is not None:
+            self._init_native(lib, a, n, m, min_bq, min_mq)
+        else:
+            self._init_numpy(a, n, m, min_bq, min_mq)
+
+        # ---- shared small post-processing (everything below is O(m) or
+        # O(non-ref entries), both tiny next to the table) ----------------
+        self.col_start = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(self.depth)])
+        self.col_only_ref = (self.depth > 0) & (self._nonref_cnt == 0)
+        self.cum_ins = np.concatenate([[0.0], np.cumsum(self.col_ins)])
+
+        # insertion sequences: unique uppercased strings -> dense ids
+        self._ins_id_of = {}
+        nr_ik = self.nr_ik
+        iseq_id = np.zeros(len(nr_ik), np.int64)
+        iseq = pe._iseq
+        for t in np.nonzero(nr_ik == _INDEL_INS)[0]:
+            s = iseq[int(self.nr_entry[t])].upper()
+            iseq_id[t] = self._ins_id_of.setdefault(s, len(self._ins_id_of) + 1)
+        nr_base = self.nr_base.astype(np.int64)
+        nr_ik64 = nr_ik.astype(np.int64)
+        sub = np.where(nr_ik64 == _INDEL_INS, iseq_id,
+                       np.where(nr_ik64 == _INDEL_DEL,
+                                self.nr_ilen.astype(np.int64), 0))
+        self.nr_token = nr_base + nr_ik64 * 16 + sub * 64
+        self.nr_bare_del = (nr_ik64 == _INDEL_NONE) & (nr_base >= 8)
+        self.T = int(self.nr_token.max()) + 11 if len(self.nr_token) else 11
+
+        # full-column (pos, token) counts: every entry with a non-ref token
+        # IS a non-ref entry, so non-ref counts equal full-column counts
+        ckey = self.nr_pos * self.T + self.nr_token
+        self.colkey, self.colkey_cnt = np.unique(ckey, return_counts=True)
+
+        self._read_flag = np.zeros(self.n_reads, bool)
+
+    def _init_native(self, lib, a, n, m, min_bq, min_mq):
+        """Two fused C++ passes (bamio/native/pileup_native.cpp:
+        entry_filter_stats / entry_filter_extract)."""
+        import ctypes
+
+        c = lambda x: np.ascontiguousarray(x)  # noqa: E731
+        ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        pos = c(a["pos"]); code = c(a["code"]); bq = c(a["bq"])
+        mq = c(a["mq"]); ikind = c(a["ikind"]); ilen = c(a["ilen"])
+        read_id = c(a["read_id"]); eflags = c(a["eflags"])
+        depth = np.empty(m, np.int64)
+        nstarts = np.empty(m, np.int64)
+        nends = np.empty(m, np.int64)
+        nonref_cnt = np.empty(m, np.int64)
+        col_ins = np.empty(m, np.int64)
+        n_sel = ctypes.c_int64(0)
+        n_nonref = ctypes.c_int64(0)
+        max_read = ctypes.c_int64(0)
+        lib.entry_filter_stats(
+            n, ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind), ptr(ilen),
+            ptr(read_id), ptr(eflags),
+            self.p0, m, int(min_bq), int(min_mq), 2 * FLANKING,
+            ptr(self.ref_tok),
+            ptr(depth), ptr(nstarts), ptr(nends), ptr(nonref_cnt),
+            ptr(col_ins),
+            ctypes.byref(n_sel), ctypes.byref(n_nonref),
+            ctypes.byref(max_read),
+        )
+        self.depth = depth
+        self._nonref_cnt = nonref_cnt
+        self.col_ins = col_ins.astype(np.float64)
+        self.n_reads = int(max_read.value) + 1 if max_read.value >= 0 else 1
+
+        side_start = nstarts > nends
+        marked_len = np.where(side_start, nstarts, nends)
+        colcond = (marked_len >= depth * EPS_RSE) & (depth > 0)
+        col_side = np.where(colcond,
+                            np.where(side_start, 1, 2), 0).astype(np.int8)
+        n_rse_cap = int(marked_len[colcond].sum())
+
+        sort_ofs = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(depth)])[:-1].copy()
+        nr_ofs = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(nonref_cnt)])[:-1].copy()
+        ns, nn = int(n_sel.value), int(n_nonref.value)
+        self.orig = np.empty(ns, np.int32)
+        self.nr_entry = np.empty(nn, np.int32)
+        self.nr_pos = np.empty(nn, np.int64)
+        self.nr_read = np.empty(nn, np.int32)
+        self.nr_base = np.empty(nn, np.int8)
+        self.nr_ik = np.empty(nn, np.int8)
+        self.nr_ilen = np.empty(nn, np.int32)
+        rse_pos = np.empty(n_rse_cap, np.int64)
+        rse_read = np.empty(n_rse_cap, np.int32)
+        n_rse = ctypes.c_int64(0)
+        lib.entry_filter_extract(
+            n, ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind), ptr(ilen),
+            ptr(read_id), ptr(eflags),
+            self.p0, m, int(min_bq), int(min_mq), ptr(self.ref_tok),
+            ptr(col_side), ptr(sort_ofs), ptr(nr_ofs),
+            ptr(self.orig), ptr(self.nr_entry), ptr(self.nr_pos),
+            ptr(self.nr_read), ptr(self.nr_base), ptr(self.nr_ik),
+            ptr(self.nr_ilen),
+            ptr(rse_pos), ptr(rse_read), ctypes.byref(n_rse),
+        )
+        nr = int(n_rse.value)
+        ro = np.argsort(rse_pos[:nr], kind="stable")
+        self.rse_pos = rse_pos[:nr][ro]
+        self.rse_read = rse_read[:nr][ro].astype(np.int64)
+        self.nr_read = self.nr_read.astype(np.int64)
+
+    def _init_numpy(self, a, n, m, min_bq, min_mq):
+        """Pure-numpy fallback with identical outputs (tests cross-validate
+        the two paths via the golden filter suite)."""
+        sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] != 10)
+        sel_idx = np.nonzero(sel)[0]
+        pos_sel = a["pos"][sel_idx]
+        rel = (pos_sel - self.p0).astype(np.int64)
+        order = np.argsort(rel, kind="stable")
+        self.orig = sel_idx[order].astype(np.int32)
+        self.depth = np.bincount(rel, minlength=m).astype(np.int64)
+        self.n_reads = int(a["read_id"][sel_idx].max()) + 1 if len(sel_idx) else 1
+
+        code_sel = a["code"][sel_idx]
+        ik_sel = a["ikind"][sel_idx]
+        base_sel = _BASE_ID[code_sel]
+        is_ref = (ik_sel == _INDEL_NONE) & (base_sel == self.ref_tok[rel])
+        nr_local = np.nonzero(~is_ref)[0]
+        nr_rel = rel[nr_local]
+        nr_order = np.argsort(nr_rel, kind="stable")
+        nr_local = nr_local[nr_order]
+        self._nonref_cnt = np.bincount(nr_rel, minlength=m)
+        nr_orig = sel_idx[nr_local]
+        self.nr_entry = nr_orig.astype(np.int32)
+        self.nr_pos = a["pos"][nr_orig].astype(np.int64)
+        self.nr_read = a["read_id"][nr_orig].astype(np.int64)
+        self.nr_base = base_sel[nr_local]
+        self.nr_ik = ik_sel[nr_local]
+        self.nr_ilen = a["ilen"][nr_orig]
+
+        ins_m = (self.nr_ik == _INDEL_INS) & (self.nr_ilen > 2)
+        self.col_ins = np.bincount(
+            nr_rel[nr_order][ins_m],
+            weights=np.minimum(self.nr_ilen[ins_m], 2 * FLANKING),
+            minlength=m)
+
+        st_rows = np.nonzero(((a["eflags"] & 1) > 0) & sel)[0]
+        en_rows = np.nonzero(((a["eflags"] & 2) > 0) & sel)[0]
+        rel_st = (a["pos"][st_rows] - self.p0).astype(np.int64)
+        rel_en = (a["pos"][en_rows] - self.p0).astype(np.int64)
+        nstarts = np.bincount(rel_st, minlength=m)
+        nends = np.bincount(rel_en, minlength=m)
+        side_start = nstarts > nends
+        marked_len = np.where(side_start, nstarts, nends)
+        colcond = (marked_len >= self.depth * EPS_RSE) & (self.depth > 0)
+        mk = np.concatenate([
+            st_rows[colcond[rel_st] & side_start[rel_st]],
+            en_rows[colcond[rel_en] & ~side_start[rel_en]],
+        ])
+        rse_pos = a["pos"][mk]
+        ro = np.argsort(rse_pos, kind="stable")
+        self.rse_pos = rse_pos[ro].astype(np.int64)
+        self.rse_read = a["read_id"][mk][ro].astype(np.int64)
+
+    def _init_empty(self):
+        self.p0 = self.p1 = 0
+        self.orig = np.zeros(0, np.int32)
+        self.depth = np.zeros(0, np.int64)
+        self.col_start = np.zeros(1, np.int64)
+        self.ref_tok = np.zeros(0, np.int16)
+        self.nr_pos = np.zeros(0, np.int64)
+        self.nr_read = np.zeros(0, np.int64)
+        self.nr_token = np.zeros(0, np.int64)
+        self.nr_bare_del = np.zeros(0, bool)
+        self._ins_id_of = {}
+        self.T = 11
+        self.col_only_ref = np.zeros(0, bool)
+        self.col_ins = np.zeros(0, np.float64)
+        self.cum_ins = np.zeros(1, np.float64)
+        self.colkey = np.zeros(0, np.int64)
+        self.colkey_cnt = np.zeros(0, np.int64)
+        self.rse_pos = np.zeros(0, np.int64)
+        self.rse_read = np.zeros(0, np.int64)
+        self.n_reads = 1
+        self._read_flag = np.zeros(1, bool)
+
+    # -- column access (original table rows, original entry order) --------
+    def col_rows(self, p):
+        if not (self.p0 <= p < self.p1):
+            return self.orig[0:0]
+        c = p - self.p0
+        return self.orig[self.col_start[c]:self.col_start[c + 1]]
+
+    def rev_at(self, rows):
+        code = self.a["code"][rows]
+        return ((code >= 4) & (code < 8)) | (code == 9)
+
+    def col_token_count(self, p, tok):
+        k = p * self.T + tok
+        i = int(np.searchsorted(self.colkey, k))
+        if i < len(self.colkey) and self.colkey[i] == k:
+            return int(self.colkey_cnt[i])
+        return 0
+
+    def center_state(self, pos0):
+        """Per-read center-column state with the reference's dict
+        semantics (last entry of a read wins): (table_rows, read_ids)."""
+        rows = self.col_rows(pos0)
+        reads = self.a["read_id"][rows]
+        if len(reads) == 0:
+            return rows, reads.astype(np.int64)
+        uniq, rev_first = np.unique(reads[::-1], return_index=True)
+        last = rows[len(reads) - 1 - rev_first]
+        return last, uniq.astype(np.int64)
+
+    def alt_rows_mask(self, rows, ref_base, alt_base):
+        """Boolean mask over column rows: entry string equals this alt
+        (postfilter_variants.py:281-294).  SNV: exact base, no indel
+        suffix.  INS: base+iseq == alt.  DEL: deleted length matches."""
+        a = self.a
+        ik = a["ikind"][rows]
+        is_del = len(ref_base) > 1 and len(alt_base) == 1
+        if is_del:
+            return (ik == _INDEL_DEL) & (a["ilen"][rows] + 1 == len(ref_base))
+        is_snp = len(ref_base) == 1 and len(alt_base) == 1
+        base = _BASE_ID[a["code"][rows]]
+        if is_snp:
+            i = "ACGT".find(alt_base)
+            if i < 0:
+                return np.zeros(len(rows), bool)
+            return (ik == _INDEL_NONE) & (base == i)
+        if len(ref_base) == 1 and len(alt_base) > 1:
+            i = "ACGT".find(alt_base[0])
+            if i < 0:
+                return np.zeros(len(rows), bool)
+            out = (ik == _INDEL_INS) & (base == i)
+            want = alt_base[1:].upper()
+            for k in np.nonzero(out)[0]:
+                if self.pe._iseq[int(rows[k])].upper() != want:
+                    out[k] = False
+            return out
+        return np.zeros(len(rows), bool)
+
+    # -- site-level verdict kernels ---------------------------------------
+    def rse_hits(self, win_lo, win_hi, alt_ids):
+        """#distinct alt reads among the marked start/end reads in window."""
+        s = int(np.searchsorted(self.rse_pos, win_lo, "left"))
+        e = int(np.searchsorted(self.rse_pos, win_hi + 1, "left"))
+        rr = self.rse_read[s:e]
+        if len(rr) == 0 or len(alt_ids) == 0:
+            return 0
+        rf = self._read_flag
+        rf[alt_ids] = True
+        hits = np.unique(rr[rf[rr]])
+        rf[alt_ids] = False
+        return len(hits)
+
+    def co_exist(self, pos0, win_lo, win_hi, alt_ids):
+        """(match_count, ins_length) for the variant-cluster verdict
+        (postfilter_variants.py:296-345 / haplotype_filtering.py:394-435)."""
+        lo_c = min(max(win_lo - self.p0, 0), self.p1 - self.p0)
+        hi_c = min(max(win_hi + 1 - self.p0, 0), self.p1 - self.p0)
+        ins_length = float(self.cum_ins[hi_c] - self.cum_ins[lo_c])
+        if self.p0 <= pos0 < self.p1:
+            ins_length -= float(self.col_ins[pos0 - self.p0])
+        A = len(alt_ids)
+        if A == 0:
+            return 0, ins_length
+        s = int(np.searchsorted(self.nr_pos, win_lo, "left"))
+        e = int(np.searchsorted(self.nr_pos, win_hi + 1, "left"))
+        if s == e:
+            return 0, ins_length
+        rf = self._read_flag
+        rf[alt_ids] = True
+        m = (rf[self.nr_read[s:e]]
+             & ~self.nr_bare_del[s:e]
+             & (self.nr_pos[s:e] != pos0))
+        rf[alt_ids] = False
+        if not m.any():
+            return 0, ins_length
+        p_c = self.nr_pos[s:e][m]
+        key = p_c * self.T + self.nr_token[s:e][m]
+        j_c = np.nonzero(m)[0]
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uk, first_i, counts = np.unique(key_s, return_index=True,
+                                        return_counts=True)
+        first_j = j_c[order][first_i]       # earliest entry of each token
+        cols = uk // self.T
+        col_u, col_first = np.unique(cols, return_index=True)
+        mx = np.maximum.reduceat(counts, col_first)
+        cand = np.nonzero((mx > A * (1 - EPS)) & (mx < A * (1 + EPS))
+                          & ~self.col_only_ref[col_u - self.p0])[0]
+        match_count = 0
+        bounds = np.append(col_first, len(uk))
+        for gi in cand:
+            a_, b_ = bounds[gi], bounds[gi + 1]
+            cnts = counts[a_:b_]
+            top = int(mx[gi])
+            ties = np.nonzero(cnts == top)[0]
+            # Counter.most_common breaks count ties by insertion order =
+            # first occurrence among the column's alt entries
+            ti = ties[np.argmin(first_j[a_:b_][ties])] if len(ties) > 1 else ties[0]
+            top_tok = int(uk[a_:b_][ti] % self.T)
+            if self.col_token_count(int(col_u[gi]), top_tok) >= top * (1 + EPS):
+                continue
+            match_count += 1
+        return match_count, ins_length
+
+
 class HardFilterEngine:
     """Runs the no-phasing verdict set against a PileupEngine entry table."""
 
@@ -150,131 +499,40 @@ class HardFilterEngine:
         self.min_mq = min_mq
         self.max_co_exist = max_co_exist_read_num
         self.disable_rse = disable_read_start_end_filtering
-        self._build_index()
-
-    def _build_index(self):
-        a = self.pe._finalize()
-        # filter view: read mq >= min_mq, base bq >= min_bq, real entries
-        self.sel = (
-            (a["mq"] >= self.min_mq)
-            & (a["bq"] >= self.min_bq)
-            & (a["code"] != 10)
-        )
-        self.idx = np.nonzero(self.sel)[0]
-        pos = a["pos"][self.idx]
-        order = np.argsort(pos, kind="stable")
-        self.idx = self.idx[order]
-        self.pos_sorted = pos[order]
-        self.a = a
-
-    def _entries_at(self, p):
-        lo = np.searchsorted(self.pos_sorted, p, side="left")
-        hi = np.searchsorted(self.pos_sorted, p, side="right")
-        return self.idx[lo:hi]
-
-    def _entry_base_string(self, j):
-        """Uppercased base + indel suffix (postfilter base_list after :179)."""
-        return self.pe._entry_string(j).upper()
+        self.ix = FilterIndex(pileup_engine, min_bq, min_mq)
 
     def verdict(self, pos0, ref_base, alt_base):
         """Run the four verdicts for a call at 0-based pos0."""
-        pe, a = self.pe, self.a
+        ix = self.ix
         v = FilterVerdict()
         is_snp = len(ref_base) == 1 and len(alt_base) == 1
-        is_ins = len(ref_base) == 1 and len(alt_base) > 1
-        is_del = len(ref_base) > 1 and len(alt_base) == 1
 
         win_lo = max(pos0 - FLANKING, 0)
         win_hi = pos0 + FLANKING
 
-        # --- pos-column state --------------------------------------------
-        center = self._entries_at(pos0)
-        center_strings = {int(a["read_id"][j]): self._entry_base_string(j) for j in center}
-        center_rev = {
-            int(a["read_id"][j]): (4 <= a["code"][j] < 8) or a["code"][j] == 9
-            for j in center
-        }
-        if is_snp:
-            alt_reads = {
-                rid for rid, s in center_strings.items() if s == alt_base
-            }
-        elif is_ins:
-            alt_reads = {
-                rid
-                for rid, s in center_strings.items()
-                if "+" in s and s.replace("+", "") == alt_base
-            }
-        elif is_del:
-            alt_reads = {
-                rid
-                for rid, s in center_strings.items()
-                if "-" in s and len(s.split("-")[1]) + 1 == len(ref_base)
-            }
-        else:
-            alt_reads = set()
+        rows, reads = ix.center_state(pos0)
+        alt_mask = ix.alt_rows_mask(rows, ref_base, alt_base)
+        alt_ids = reads[alt_mask]
+        n_alt = len(alt_ids)
 
-        # --- ① read start/end --------------------------------------------
+        # --- ① read start/end (postfilter:419-430; the >= comparison makes
+        # a zero-alt site fail, matching the reference's 0 >= 0 behavior)
         if not self.disable_rse:
-            rse_reads = set()
-            for p in range(win_lo, win_hi + 1):
-                ents = self._entries_at(p)
-                if len(ents) == 0:
-                    continue
-                starts = [j for j in ents if a["eflags"][j] & 1]
-                ends = [j for j in ents if a["eflags"][j] & 2]
-                marked = starts if len(starts) > len(ends) else ends
-                if len(marked) >= len(ents) * EPS_RSE:
-                    rse_reads |= {int(a["read_id"][j]) for j in marked}
-            if len(alt_reads) >= 0 and len(rse_reads & alt_reads) >= 0.3 * len(alt_reads):
+            if ix.rse_hits(win_lo, win_hi, alt_ids) >= 0.3 * n_alt:
                 v.pass_read_start_end = False
 
         # --- ② co-exist / variant cluster --------------------------------
-        match_count = 0
-        ins_length = 0
-        for p in range(win_lo, win_hi + 1):
-            if p == pos0:
-                continue
-            ents = self._entries_at(p)
-            if len(ents) == 0:
-                continue
-            rb = pe._ref_base(p)
-            strings = {int(a["read_id"][j]): self._entry_base_string(j) for j in ents}
-            # inserted length among long insertions (postfilter:307-308)
-            ins_length += sum(
-                min(len(s.split("+")[1]), FLANKING * 2)
-                for s in strings.values()
-                if "+" in s and len(s.split("+")[1]) > 2
-            )
-            alt_list = [
-                s
-                for rid, s in strings.items()
-                if rid in alt_reads and s != rb and s not in "#*"
-            ]
-            if not alt_list:
-                continue
-            top_base, top_count = Counter(alt_list).most_common(1)[0]
-            if (
-                top_count >= len(alt_reads) * (1 + EPS)
-                or top_count <= len(alt_reads) * (1 - EPS)
-            ):
-                continue
-            # column-level counter: skip pure-ref columns (postfilter:443-445)
-            col_counter = Counter(s for s in strings.values())
-            if len(col_counter) == 1 and col_counter.get(rb, 0) > 0:
-                continue
-            if col_counter[top_base] >= top_count * (1 + EPS):
-                continue
-            match_count += 1
-        depth = max(len(center_strings), 1)
+        match_count, ins_length = ix.co_exist(pos0, win_lo, win_hi, alt_ids)
+        depth = max(len(reads), 1)
         if match_count >= self.max_co_exist or ins_length / depth > 3:
             v.pass_co_exist = False
 
         # --- ③ strand bias ------------------------------------------------
-        a0 = sum(1 for rid in alt_reads if not center_rev.get(rid, False))
-        a1 = sum(1 for rid in alt_reads if center_rev.get(rid, False))
-        all0 = sum(1 for rev in center_rev.values() if not rev)
-        all1 = sum(1 for rev in center_rev.values() if rev)
-        r0, r1 = all0 - a0, all1 - a1
+        rev = ix.rev_at(rows)
+        a1 = int((rev & alt_mask).sum())
+        a0 = n_alt - a1
+        all1 = int(rev.sum())
+        r0, r1 = len(reads) - all1 - a0, all1 - a1
         v.strand_table = ((a0, r0), (a1, r1))
         v.strand_bias_p = fisher_exact([[a0, r0], [a1, r1]])
         if v.strand_bias_p < 0.001:
@@ -284,7 +542,7 @@ class HardFilterEngine:
         if not is_snp:
             lo = pos0 - cfg.FLANKING_BASE_NUM
             hi = pos0 + cfg.FLANKING_BASE_NUM + 1
-            ref_seq = "".join(pe._ref_base(p) for p in range(lo, hi))
+            ref_seq = "".join(ix.pe._ref_base(p) for p in range(lo, hi))
             ent = calculate_sequence_entropy(ref_seq, cfg.NO_OF_POSITIONS)
             if ent < SEQUENCE_ENTROPY_THRESHOLD:
                 v.pass_sequence_entropy = False
