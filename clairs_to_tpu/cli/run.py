@@ -41,8 +41,8 @@ def build_parser():
     opt.add_argument("-H", "--hybrid_mode_vcf_fn", default=None)
     opt.add_argument("--print_ref_calls", action="store_true")
     opt.add_argument("--disable_indel_calling", type=str, default="False")
-    opt.add_argument("--snv_min_af", type=float, default=cfg.SNV_MIN_AF)
-    opt.add_argument("--indel_min_af", type=float, default=0.1)
+    opt.add_argument("--snv_min_af", type=float, default=None)
+    opt.add_argument("--indel_min_af", type=float, default=None)
     opt.add_argument("--min_coverage", type=int, default=cfg.MIN_COVERAGE)
     opt.add_argument("-q", "--qual", type=float, default=None)
     opt.add_argument("--qual_indel", type=float, default=None)
@@ -66,6 +66,13 @@ def build_parser():
     adv.add_argument("--call_indels_only_in_these_regions", default=None)
     adv.add_argument("--panel_of_normals", default=None)
     adv.add_argument("--panel_of_normals_require_allele_matching", default=None)
+    adv.add_argument("--pon_resource_dir", default=None,
+                     help="Directory with the 4 default PoN databases "
+                          "(run_clairs_to:821-878 analog; default: "
+                          "$CLAIRS_TO_TPU_PON_DIR or assets/clairs-to_databases).")
+    adv.add_argument("--aspcf_penalty", type=float, default=1000.0,
+                     help="ASPCF segmentation penalty (reference: --penalty "
+                          "1000, src/cna_germline_tagging.py:137).")
     adv.add_argument("--disable_nonsomatic_tagging", action="store_true")
     adv.add_argument("--do_not_print_nonsomatic_calls", action="store_true")
     adv.add_argument("--disable_intermediate_phasing", action="store_true")
@@ -266,6 +273,85 @@ def load_engines(args, mesh=None):
     return snv_engine, indel_engine
 
 
+# The reference's 4 default PoNs and their allele-matching modes
+# (run_clairs_to:821-878: gnomAD + dbSNP match by (pos, ref, alt); the
+# 1000G PoN and CoLoRSdb match by position only).
+DEFAULT_PON_FILES = (
+    ("gnomad.r2.1.af-ge-0.001.sites.vcf.gz", True),
+    ("dbsnp.b138.non-somatic.sites.vcf.gz", True),
+    ("1000g-pon.sites.vcf.gz", False),
+    ("CoLoRSdb.GRCh38.v1.1.0.deepvariant.glnexus.af-ge-0.001.vcf.gz", False),
+)
+
+
+def default_pon_dir():
+    return os.environ.get(
+        "CLAIRS_TO_TPU_PON_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "clairs-to_databases"),
+    )
+
+
+def resolve_af_defaults(args):
+    """Per-platform AF-cutoff defaulting (run_clairs_to:895-904): SNV 0.05;
+    indel 0.1 for ONT, 0.05 for ilmn/hifi, 1.0 when indel calling is off."""
+    if args.snv_min_af is None:
+        args.snv_min_af = cfg.SNV_MIN_AF
+    if args.indel_min_af is None:
+        if _str2bool(args.disable_indel_calling):
+            args.indel_min_af = 1.0
+        elif "ont" in args.platform:
+            args.indel_min_af = 0.1
+        else:
+            args.indel_min_af = 0.05
+
+
+def resolve_pon_defaults(args):
+    """Default panel-of-normals resolution (run_clairs_to:821-878).
+
+    Explicit 'None'/'Null'/' ' disables tagging; an explicit list is
+    validated file-by-file (fail loud); otherwise the 4 default databases
+    are resolved from --pon_resource_dir with the reference's matching-mode
+    table.  Divergence (documented): when the resource directory itself is
+    absent the stage is skipped with a notice instead of aborting — the
+    multi-GB bundles are downloads, not repo assets; the reference
+    hard-exits (file_path_from(exit_on_not_found=True))."""
+    if args.panel_of_normals in ("None", "Null", " "):
+        args.disable_nonsomatic_tagging = True
+        args.panel_of_normals = None
+        return
+    if args.panel_of_normals is not None:
+        pons = args.panel_of_normals.split(",")
+        missing = [p for p in pons if not os.path.exists(p)]
+        if missing:
+            sys.exit("[ERROR] file {} not found".format(", ".join(missing)))
+        mm = args.panel_of_normals_require_allele_matching
+        if mm in (None, "None", "Null", " "):
+            args.panel_of_normals_require_allele_matching = ",".join(
+                ["True"] * len(pons))
+        elif len(mm.split(",")) != len(pons):
+            print("[WARNING] Please use "
+                  "`--panel_of_normals_require_allele_matching` together "
+                  "with `--panel_of_normals`.")
+        return
+    pon_dir = args.pon_resource_dir or default_pon_dir()
+    if not os.path.isdir(pon_dir):
+        if not args.disable_nonsomatic_tagging:
+            print(f"[INFO] Default PoN databases not installed ({pon_dir}); "
+                  "nonsomatic tagging runs only when --panel_of_normals is "
+                  "given.")
+        return
+    files, modes, missing = [], [], []
+    for fname, allele in DEFAULT_PON_FILES:
+        path = os.path.join(pon_dir, fname)
+        (files if os.path.exists(path) else missing).append(path)
+        modes.append(str(allele))
+    if missing:
+        sys.exit("[ERROR] file {} not found".format(", ".join(missing)))
+    args.panel_of_normals = ",".join(files)
+    args.panel_of_normals_require_allele_matching = ",".join(modes)
+
+
 def default_qual(args):
     """Qual-cutoff defaulting incl. the --qual supersede rule
     (run_clairs_to:920-956): an explicit --qual overrides qual_indel and all
@@ -341,6 +427,23 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             )
         apply_haplotype_filters(res.snv_rows, verdicts)
     elif apply_postfilter:
+        # The reference always runs the realignment filter for ilmn before
+        # the postfilter (run_clairs_to:1449-1482); --enable_realignment
+        # defaults on for the short-read family.
+        enable_realign = (
+            args.enable_realignment is None
+            or _str2bool(args.enable_realignment)
+        )
+        if enable_realign:
+            from clairs_to_tpu.postcall.realignment import realign_filter
+
+            n_re = realign_filter(pipe.bam_path, pipe.fasta, pass_rows)
+            if n_re:
+                print(f"[INFO] Realignment filter failed {n_re} call(s)")
+            pass_rows = [r for r in pass_rows if r["FILTER"] == "PASS"]
+            if not pass_rows:
+                return
+
         from clairs_to_tpu.postcall.hardfilter import (
             HardFilterEngine,
             apply_hard_filters,
@@ -458,6 +561,7 @@ def _run_verdict_stage(args, verdict_acc, snv_vcf_path, gc_lookup, rt_lookup):
     cna_dir = os.path.join(args.output_dir, "tmp", "cna_output")
     result = run_verdict(None, None, rows, cna_output_dir=cna_dir,
                          sample_name=args.sample_name,
+                         penalty=args.aspcf_penalty,
                          gc_lookup=gc_lookup, rt_lookup=rt_lookup,
                          counts_by_ctg=counts_by_ctg)
     if result.applied and result.n_tagged:
@@ -498,6 +602,8 @@ def main(argv=None):
 def _main_impl(args):
     t0 = time.time()
 
+    resolve_af_defaults(args)
+    resolve_pon_defaults(args)
     os.makedirs(args.output_dir, exist_ok=True)
     tmp_dir = os.path.join(args.output_dir, "tmp")
     vcf_out = os.path.join(tmp_dir, "vcf_output")

@@ -61,6 +61,19 @@ def _counts(reads_info, pos0, alt_base):
     return alt, depth
 
 
+def realign_decision(raw_support, raw_depth, new_support, new_depth):
+    """True = call FAILS the realignment check.
+
+    The reference's rule (realign_variants.py:119-122): fail when the alt
+    AF strictly decreased AND the alt read count strictly decreased.  An
+    empty realigned pileup is a skip, not a fail (:109-112 returns pass
+    when the re-mpileup row is missing)."""
+    if raw_depth <= 0 or new_depth <= 0:
+        return False
+    return (raw_support / float(raw_depth) > new_support / float(new_depth)
+            and new_support < raw_support)
+
+
 def realign_filter(
     bam_path: str,
     fasta,
@@ -114,10 +127,7 @@ def realign_filter(
             else:
                 new_info.append((int(new_pos[k]), new_cigars[k], r.seq))
         new_alt, new_depth = _counts(new_info, pos0, row["ALT"])
-        ori_af = ori_alt / ori_depth if ori_depth else 0.0
-        new_af = new_alt / new_depth if new_depth else 0.0
-        # realign_variants.py:113-122: fail when both decreased
-        if new_alt < ori_alt and new_af < ori_af:
+        if realign_decision(ori_alt, ori_depth, new_alt, new_depth):
             row["QUAL"] = 0.0
             row["FILTER"] = "LowQual;Realignment"
             n_failed += 1

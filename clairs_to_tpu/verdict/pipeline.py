@@ -70,7 +70,7 @@ def run_verdict(
     loci,                 # {ctg: (positions0, ref_idx, alt_idx)} candidate het loci
     rows,                 # VCF row dicts to tag (PASS rows considered)
     gamma=1.0,
-    penalty=100,
+    penalty=1000,  # src/cna_germline_tagging.py:137 --penalty 1000
     gc_content=None,
     replication_timing=None,
     gc_lookup=None,        # {(ctg, pos0): row} — aligned internally to kept loci
