@@ -88,6 +88,7 @@ def simulate_reads(
     lowbq_error_mult=10.0,
     somatic_hap_aware=False,
     eval_profile=None,
+    hap_in_name=False,
 ):
     """Generate (name, flag, pos, cigar, seq, qual) tuples, sorted by pos.
 
@@ -184,7 +185,8 @@ def simulate_reads(
         else:
             _apply_eval_errors(rng, seq, qual, error_rate, flag, eval_profile)
         seq = "".join(seq)
-        reads.append((f"read{ridx:06d}", flag, start, cigar, seq, qual))
+        name = f"read{ridx:06d}_h{hap}" if hap_in_name else f"read{ridx:06d}"
+        reads.append((name, flag, start, cigar, seq, qual))
     reads.sort(key=lambda r: r[2])
     return reads
 

@@ -580,6 +580,12 @@ def _run_verdict_stage(args, verdict_acc, snv_vcf_path, gc_lookup, rt_lookup):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Pin platform + persistent cache BEFORE any backend client exists —
+    # init_distributed's process_count() creates the client, and a late
+    # JAX_PLATFORMS re-pin would silently be ignored.
+    from clairs_to_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     try:
         return _main_impl(args)
     except MemoryError:

@@ -34,6 +34,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     if coordinator_address is None:
         return 1, 0
+    # CPU backends need an explicit cross-process collectives impl for the
+    # client to register as multi-node (xla_bridge.make_cpu_client)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

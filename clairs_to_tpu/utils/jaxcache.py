@@ -10,6 +10,16 @@ import os
 def enable_compilation_cache(cache_dir=None):
     import jax
 
+    # The experimental 'axon' TPU plugin re-pins jax_platforms at import
+    # time, silently overriding JAX_PLATFORMS; re-apply the user's choice
+    # (subprocess workers — e.g. multi-host CPU tests — depend on this).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "CLAIRS_TO_TPU_XLA_CACHE", "/root/.cache/clairs_to_tpu_xla"
     )
