@@ -274,9 +274,13 @@ def run_ascat(
         n_major[start : end + 1] = nA_
         n_minor[start : end + 1] = nB_
 
+    # the reference's FINAL ploidy is the per-probe mean total copy number
+    # (run_ascat.py:434-466: mean(n1all + n2all), whose het/hom branches sum
+    # to nMajor+nMinor at every probe) — not the grid optimum's ploidy
+    del ploidy_best
     return AscatResult(
         purity=float(rho_opt),
-        ploidy=float(ploidy_best),
+        ploidy=float(np.mean(n_major + n_minor)),
         psi=float(psi_opt),
         goodness_of_fit=float(gof_best),
         nonaberrant=bool(nonaberrant),

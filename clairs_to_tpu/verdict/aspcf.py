@@ -244,6 +244,53 @@ def rle_lengths(arr):
     return np.diff(np.append(-1, i))
 
 
+def fill_na(x, zero_is_na=False):
+    """Linear-interpolation NaN fill (aspcf.py:392-412)."""
+    out = np.asarray(x, dtype=np.float64).copy()
+    if zero_is_na:
+        out[out == 0] = np.nan
+    nan = np.isnan(out)
+    if nan.any() and (~nan).any():
+        idx = np.nonzero(~nan)[0]
+        out[nan] = np.interp(np.nonzero(nan)[0], idx, out[idx])
+    return out
+
+
+def hom_stretches(hom, chrom_groups):
+    """Germline homozygous stretches (aspcf.py:14-46).
+
+    hom: (n,) bool over ALL loci; chrom_groups: list of global index arrays
+    per chromosome (file order).  Returns [[chrom_rank, g_start, g_end]].
+    The run-length threshold comes from the genome-wide hom fraction:
+    ceil(log(0.001)/log(perc_hom)).
+    """
+    n_hom = int(hom.sum())
+    perchom = n_hom / len(hom)
+    if perchom == 0.0:
+        homthres = 0
+    elif perchom == 1.0:
+        homthres = 1
+    else:
+        homthres = math.ceil(math.log(0.001, perchom))
+    out = []
+    for rank, grp in enumerate(chrom_groups):
+        hs = hom[grp]
+        run = []
+        for probe, value in enumerate(hs):
+            if value:
+                run.append(probe)
+            elif run and len(run) >= homthres:
+                out.append([rank, int(grp[run[0]]), int(grp[run[-1]])])
+                run = []
+            else:
+                run = []
+        if len(hs) and hs[-1] and run and len(run) >= homthres:
+            out.append([rank, int(grp[run[0]]), int(grp[run[-1]])])
+    if not out:
+        out = [[0, 0, 0]]
+    return out
+
+
 def aspcf_segment(logr, baf, hom, chrom_index, penalty=100):
     """Per-chromosome ASPCF assembly (aspcf.py:425-640).
 
@@ -261,13 +308,16 @@ def aspcf_segment(logr, baf, hom, chrom_index, penalty=100):
         return None, None, ~hom
 
     segmentlengths = [l for l in sorted({penalty, 70, 100, 140}) if l >= penalty]
+    chrom_labels = list(dict.fromkeys(chrom_index.tolist()))  # input order
+    chrom_groups = [np.nonzero(chrom_index == c)[0] for c in chrom_labels]
+    ghs = hom_stretches(hom, chrom_groups)
     logr_pcfed = np.array([])
     baf_pcfed = np.array([])
     for seglen in segmentlengths:
         logr_pcfed = np.array([])
         baf_pcfed = np.array([])
-        for c in np.unique(chrom_index):
-            chrom = np.nonzero(chrom_index == c)[0]
+        for rank, c in enumerate(chrom_labels):
+            chrom = chrom_groups[rank]
             lr = logr[chrom]
             lrwins = mad_wins(lr, 2.5, 25)
             bafc = baf[chrom]
@@ -355,4 +405,56 @@ def aspcf_segment(logr, baf, hom, chrom_index, penalty=100):
                 logr_pcfed = np.concatenate(
                     (logr_pcfed, np.full(len(lr), np.nanmean(lr)))
                 )
-    return logr_pcfed, baf_pcfed, ~hom
+
+            # germline-homozygous-stretch override (aspcf.py:583-607): re-PCF
+            # the raw logR around each hom stretch at penalty/4 and substitute
+            # where it departs from the assembled fit by >0.3 at >5 probes.
+            # Indices are GLOBAL; chromosomes are processed in input order so
+            # the concatenated array lines up with them.
+            startchr = int(chrom[0])
+            endchr = int(chrom[-1])
+            for (hrank, hs, he) in ghs:
+                if hrank != rank:
+                    continue
+                startpos2 = max(hs - 100, startchr)
+                endpos2 = min(he + 100, endchr)
+                startpos3 = max(hs - 5, startchr)
+                endpos3 = min(he + 5, endchr)
+                towins = logr[startpos2:endpos2 + 1]
+                ok = ~np.isnan(towins)
+                pcfed = np.full(len(towins), np.nan)
+                if ok.sum():
+                    pcfed[ok] = exact_pcf(
+                        mad_wins(towins[ok], 2.5, 25), 6, int(seglen / 4))
+                pcfed2 = pcfed[startpos3 - startpos2: endpos3 - startpos2 + 1]
+                target = logr_pcfed[startpos3:endpos3 + 1]
+                if len(pcfed2) != len(target):
+                    pcfed2 = pcfed2[: len(target)]
+                dif = np.abs(pcfed2 - target)
+                if not np.any(np.isnan(dif)) and np.sum(dif > 0.3) > 5:
+                    logr_pcfed[startpos3:endpos3 + 1] = np.where(
+                        dif > 0.3, pcfed2, target)
+
+        # genome-wide re-level over the GLOBAL raw logR (aspcf.py:608-633),
+        # then stop refining once the fit is piecewise enough (< 800 levels)
+        logr_pcfed = fill_na(logr_pcfed, zero_is_na=True)
+        seg = rle_lengths(logr_pcfed)
+        parts = []
+        startp = 0
+        prevlevel = 0.0
+        for length in seg:
+            endp = startp + length
+            level = np.nanmean(logr[startp:endp])
+            if np.isnan(level):
+                level = prevlevel
+            else:
+                prevlevel = level
+            parts.append(np.full(length, level))
+            startp = endp
+        logr_pcfed = np.concatenate(parts) if parts else logr_pcfed
+        if len(np.unique(logr_pcfed)) < 800:
+            break
+
+    # file convention: the reference writes 1 - yhat2 (<= 0.5) as the
+    # segmented BAF (aspcf.py:636-637); downstream ASCAT consumes that.
+    return logr_pcfed, 1 - baf_pcfed, ~hom

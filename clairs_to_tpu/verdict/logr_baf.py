@@ -57,10 +57,17 @@ def correct_logr(logr, gc_content, replication_timing, index_1kb=5, index_max=11
     gc = np.asarray(gc_content, dtype=np.float64)
     rt = np.asarray(replication_timing, dtype=np.float64)
 
-    corr_gc = np.abs(np.corrcoef(gc, logr, rowvar=False))[-1, :-1]
+    # The reference takes row 0, columns 1: of the correlation matrix
+    # (correct_logr.py:60,72) — i.e. correlations of the FIRST track column
+    # against [the remaining columns, logr], indexed back into the raw
+    # columns — not logr-vs-track.  Behavior-parity quirk kept verbatim
+    # (golden-pinned by tests/test_golden_verdict_chain.py).
+    corr_gc = np.abs(np.corrcoef(np.column_stack([gc, logr]),
+                                 rowvar=False))[0, 1:]
     max_insert = int(np.argmax(corr_gc[: index_1kb + 1]))
     max_amplic = int(np.argmax(corr_gc[index_1kb + 2 : index_max + 1])) + index_1kb + 2
-    corr_rep = np.abs(np.corrcoef(rt, logr, rowvar=False))[-1, :-1]
+    corr_rep = np.abs(np.corrcoef(np.column_stack([rt, logr]),
+                                  rowvar=False))[0, 1:]
     max_rep = int(np.argmax(corr_rep))
 
     X = np.hstack(
