@@ -93,10 +93,20 @@ for seed in [int(s) for s in a.seeds.split(",")]:
     if a.eval_grade:
         # platform-shaped reads + evaluation-grade error STRUCTURE
         # (homopolymer/strand/burst processes the training synthesizer does
-        # not model) — same decoupling as tools/quick_demo.py PROFILES
+        # not model) — same decoupling as tools/quick_demo.py PROFILES.
+        # Explicit user flags win over the profile values; announce the
+        # effective shape so overrides are never silent.
         from clairs_to_tpu.bench.profiles import PROFILES
         from clairs_to_tpu.config import platform_family
-        kw.update(PROFILES[platform_family(a.platform)])
+        prof = dict(PROFILES[platform_family(a.platform)])
+        explicit = {s.lstrip("-").split("=")[0] for s in sys.argv[1:]}
+        for k in list(prof):
+            if k in explicit:
+                prof.pop(k)
+        kw.update(prof)
+        print(f"[eval_grade] effective coverage={kw.get('coverage')} "
+              f"read_length={kw.get('read_length', 'default')} "
+              f"error_rate={kw.get('error_rate', 'default')}", flush=True)
     if indel_mode:
         kw.update(n_snv=0, n_indel=n_var)
     else:

@@ -84,10 +84,28 @@ def build_tensors():
         x=np.concatenate(xs), x_neg=np.concatenate(xns),
         cov=np.concatenate(covs), som=np.concatenate(soms),
         n_cal=np.int64(n_cal),
+        build_params=np.array(_build_params_str()),
     )
     print("[build] wrote", TENSORS, flush=True)
 
 
+def _build_params_str():
+    return (f"platform={a.platform};mode={a.mode};train_seeds={a.train_seeds};"
+            f"cal_seeds={a.cal_seeds};genome_len={a.genome_len};"
+            f"n_var={a.n_var}")
+
+
+if os.path.exists(TENSORS):
+    # a stale tensors.npz from a different platform/mode/seed run would
+    # silently train on the wrong family's data — validate and rebuild
+    _z = np.load(TENSORS)
+    _have = str(_z["build_params"]) if "build_params" in _z else "<unversioned>"
+    _z.close()
+    if _have != _build_params_str():
+        print(f"[build] {TENSORS} was built with different parameters\n"
+              f"        have: {_have}\n        want: {_build_params_str()}\n"
+              "        rebuilding", flush=True)
+        os.unlink(TENSORS)
 if not os.path.exists(TENSORS):
     build_tensors()
 if a.build_only:
@@ -131,11 +149,16 @@ if a.init_dir:
     print("[init] fine-tuning from", a.init_dir, flush=True)
 
 t0 = time.time()
-for c in range(max(a.epochs // 10, 1)):
-    tr.fit(xt, somt, epochs=min(10, a.epochs), rescale_cov=covt, x_neg=xnt)
+remaining = a.epochs
+done = 0
+while remaining > 0:
+    step = min(10, remaining)
+    tr.fit(xt, somt, epochs=step, rescale_cov=covt, x_neg=xnt)
+    remaining -= step
+    done += step
     save_checkpoint(f"{a.out}/aff.npz", tr.params["aff"])
     save_checkpoint(f"{a.out}/neg.npz", tr.params["neg"])
-    print(f"epoch {(c + 1) * 10} saved, {time.time() - t0:.0f}s", flush=True)
+    print(f"epoch {done} saved, {time.time() - t0:.0f}s", flush=True)
 
 n_all = 4 if a.mode == "snv" else 6
 pa, pn = tr.predict_probs(xc, rescale_cov=covc, x_neg=xnc)
