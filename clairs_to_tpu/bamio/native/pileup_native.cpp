@@ -29,6 +29,7 @@
 #include <unordered_map>
 #include <vector>
 #include <zlib.h>
+#include <sys/mman.h>
 
 namespace {
 
@@ -264,18 +265,49 @@ class Decoder {
       return SEQ_NT16[c];
     };
     int32_t rid = (int32_t)t_->n_reads;
+    // hot-loop fast path: when the table writes into caller buffers (the
+    // direct-fill pipeline), hoist the 10 destination pointers and a single
+    // running index out of the per-entry Col bookkeeping — the per-entry
+    // push is the single hottest loop in the framework (10^8 entries/chunk)
+    const bool fast = t_->pos.ext != nullptr;
+    int64_t n = first_idx;
+    int64_t* Fpos = t_->pos.ext;
+    int8_t* Fcode = t_->code.ext;
+    int16_t* Fbq = t_->bq.ext;
+    int16_t* Fmq = t_->mq.ext;
+    int8_t* Fhp = t_->hp.ext;
+    int8_t* Fik = t_->ikind.ext;
+    int32_t* Fil = t_->ilen.ext;
+    int64_t* Fio = t_->iseq_off.ext;
+    int32_t* Frid = t_->read_id.ext;
+    int8_t* Fef = t_->eflags.ext;
+    const int8_t hp8 = (int8_t)hp;
+    const int16_t mq16 = mapq;
     auto push = [&](int64_t p, int8_t code, int16_t bq) -> int64_t {
+      if (fast) {
+        Fpos[n] = p;
+        Fcode[n] = code;
+        Fbq[n] = bq;
+        Fmq[n] = mq16;
+        Fhp[n] = hp8;
+        Fik[n] = INDEL_NONE;
+        Fil[n] = 0;
+        Fio[n] = -1;
+        Frid[n] = rid;
+        Fef[n] = 0;
+        return n++;
+      }
       t_->pos.push_back(p);
       t_->code.push_back(code);
       t_->bq.push_back(bq);
-      t_->mq.push_back(mapq);
-      t_->hp.push_back((int8_t)hp);
+      t_->mq.push_back(mq16);
+      t_->hp.push_back(hp8);
       t_->ikind.push_back(INDEL_NONE);
       t_->ilen.push_back(0);
       t_->iseq_off.push_back(-1);
       t_->read_id.push_back(rid);
       t_->eflags.push_back(0);
-      return (int64_t)t_->pos.size() - 1;
+      return n++;
     };
 
     for (int i = 0; i < n_cigar; i++) {
@@ -319,9 +351,16 @@ class Decoder {
       }
     }
 
-    if ((int64_t)t_->pos.size() > first_idx) {
+    if (fast) {
+      // commit the running index into every Col before anything that
+      // reads .size() (overlap_adjust does)
+      t_->pos.n = t_->code.n = t_->bq.n = t_->mq.n = t_->hp.n = (size_t)n;
+      t_->ikind.n = t_->ilen.n = t_->iseq_off.n = (size_t)n;
+      t_->read_id.n = t_->eflags.n = (size_t)n;
+    }
+    if (n > first_idx) {
       t_->eflags[first_idx] |= 1;
-      t_->eflags[t_->pos.size() - 1] |= 2;
+      t_->eflags[n - 1] |= 2;
     }
     if (handle_overlaps_ && (flag & FLAG_PAIRED))
       overlap_adjust(name, first_idx);
@@ -1212,5 +1251,19 @@ void entry_filter_extract(
   }
   *out_n_rse = n_rse;
 }
+
+
+// Hugepage-backed buffer allocation for the large entry-table arenas.
+// This VM faults 4 KB pages at ~250 MB/s; MADV_HUGEPAGE first-touch runs
+// ~7x faster, which dominates cold-chunk decode (10^8 x 32 B entries).
+void* arena_alloc(int64_t size) {
+  void* p = mmap(nullptr, (size_t)size, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (p == MAP_FAILED) return nullptr;
+  madvise(p, (size_t)size, MADV_HUGEPAGE);
+  return p;
+}
+
+void arena_free(void* p, int64_t size) { munmap(p, (size_t)size); }
 
 }  // extern "C"

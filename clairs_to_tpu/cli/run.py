@@ -716,6 +716,14 @@ def _pipeline_body(args, metrics, t0, tee):
 
     with metrics.stage("load_engines"):
         snv_engine, indel_engine = load_engines(args, mesh=mesh)
+        # warm the executables with one zero batch: the first execution of a
+        # (de)serialized program pays a server-side load on the tunneled
+        # TPU; absorbing it here keeps the calling stage steady-state
+        for _eng in (snv_engine, indel_engine):
+            if _eng is not None:
+                _z = np.zeros((1, 33, 34), np.float32)
+                _c = np.ones((1,), np.float32)
+                _eng.run_batch(_z, _z, _c, _c)
     call_indels = indel_engine is not None
 
     genotyping_sites = None
@@ -834,6 +842,7 @@ def _pipeline_body(args, metrics, t0, tee):
     else:
         chunk_iter = ((ch, None) for ch in todo)
     for ch, _ in chunk_iter:
+        _t_chunk = time.time()
         sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
         ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
         res = pipe.call_chunk(ch)
@@ -869,7 +878,8 @@ def _pipeline_body(args, metrics, t0, tee):
             _accumulate_verdict_counts(pipe, ch, res, resource_loci, verdict_acc)
         pipe.evict_views(ch)
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
-              f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows")
+              f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows "
+              f"({res.n_candidates} candidates, {time.time() - _t_chunk:.2f}s)")
     _trace.__exit__(None, None, None)
     _calling_stage.__exit__(None, None, None)
 

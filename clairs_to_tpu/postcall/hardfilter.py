@@ -179,7 +179,7 @@ class FilterIndex:
         from clairs_to_tpu.bamio import native
         lib = native.get_lib()
         if lib is not None:
-            self._init_native(lib, a, n, m, min_bq, min_mq)
+            self._init_native(lib, a, n, m, min_bq, min_mq, native)
         else:
             self._init_numpy(a, n, m, min_bq, min_mq)
 
@@ -214,7 +214,7 @@ class FilterIndex:
 
         self._read_flag = np.zeros(self.n_reads, bool)
 
-    def _init_native(self, lib, a, n, m, min_bq, min_mq):
+    def _init_native(self, lib, a, n, m, min_bq, min_mq, native):
         """Two fused C++ passes (bamio/native/pileup_native.cpp:
         entry_filter_stats / entry_filter_extract)."""
         import ctypes
@@ -259,7 +259,7 @@ class FilterIndex:
         nr_ofs = np.concatenate(
             [np.zeros(1, np.int64), np.cumsum(nonref_cnt)])[:-1].copy()
         ns, nn = int(n_sel.value), int(n_nonref.value)
-        self.orig = np.empty(ns, np.int32)
+        self.orig = native.huge_empty(ns, np.int32)
         self.nr_entry = np.empty(nn, np.int32)
         self.nr_pos = np.empty(nn, np.int64)
         self.nr_read = np.empty(nn, np.int32)
