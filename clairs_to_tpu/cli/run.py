@@ -714,17 +714,22 @@ def _pipeline_body(args, metrics, t0, tee):
         print(f"[INFO] Data-parallel mesh over {n_dev} local "
               f"{local_devices[0].platform} devices")
 
-    with metrics.stage("load_engines"):
-        snv_engine, indel_engine = load_engines(args, mesh=mesh)
-        # warm the executables with one zero batch: the first execution of a
-        # (de)serialized program pays a server-side load on the tunneled
-        # TPU; absorbing it here keeps the calling stage steady-state
-        for _eng in (snv_engine, indel_engine):
-            if _eng is not None:
-                _z = np.zeros((1, 33, 34), np.float32)
-                _c = np.ones((1,), np.float32)
-                _eng.run_batch(_z, _z, _c, _c)
-    call_indels = indel_engine is not None
+    call_indels = not _str2bool(args.disable_indel_calling)
+
+    def _load_and_warm_engines():
+        """Engine build + AOT load + one zero-batch warmup (the first
+        execution of a (de)serialized program pays a variable server-side
+        load on the tunneled TPU).  Called AFTER the chunk-decode prefetch
+        starts, so the first chunk's multi-GB arena fault-in (the other big
+        cold cost) overlaps the engine wait instead of serializing with it."""
+        with metrics.stage("load_engines"):
+            snv_e, indel_e = load_engines(args, mesh=mesh)
+            for _eng in (snv_e, indel_e):
+                if _eng is not None:
+                    _z = np.zeros((1, 33, 34), np.float32)
+                    _c = np.ones((1,), np.float32)
+                    _eng.run_batch(_z, _z, _c, _c)
+        return snv_e, indel_e
 
     genotyping_sites = None
     genotyping_mode = None
@@ -800,7 +805,7 @@ def _pipeline_body(args, metrics, t0, tee):
     )
 
     pipe = CallingPipeline(
-        fasta, args.tumor_bam_fn, snv_engine, indel_engine, options,
+        fasta, args.tumor_bam_fn, None, None, options,
         metrics=metrics,
     )
     if args.min_bq is not None:
@@ -816,11 +821,6 @@ def _pipeline_body(args, metrics, t0, tee):
         _load_verdict_resources(args, chunks)
         if not args.disable_verdict else (None, None, None)
     )
-    _calling_stage = metrics.stage("calling")
-    _calling_stage.__enter__()
-    _trace = device_trace(args.trace_dir)
-    _trace.__enter__()
-
     todo = []
     for ch in chunks:
         sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
@@ -841,6 +841,18 @@ def _pipeline_body(args, metrics, t0, tee):
         chunk_iter = ((ch, None) for (ch, _v) in pipe.iter_chunks(todo))
     else:
         chunk_iter = ((ch, None) for ch in todo)
+
+    # decode-ahead already running on the worker; now pay the engine load
+    snv_engine, indel_engine = _load_and_warm_engines()
+    pipe.snv_engine = snv_engine
+    pipe.indel_engine = indel_engine
+    call_indels = indel_engine is not None
+
+    _calling_stage = metrics.stage("calling")
+    _calling_stage.__enter__()
+    _trace = device_trace(args.trace_dir)
+    _trace.__enter__()
+
     for ch, _ in chunk_iter:
         _t_chunk = time.time()
         sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
