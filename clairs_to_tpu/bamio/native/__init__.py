@@ -110,14 +110,14 @@ def get_lib():
         lib.arena_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.entry_filter_stats.restype = None
         lib.entry_filter_stats.argtypes = (
-            [ctypes.c_int64] + [ctypes.c_void_p] * 8
+            [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8
             + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int16,
                ctypes.c_int16, ctypes.c_int32, ctypes.c_void_p]
             + [ctypes.c_void_p] * 8
         )
         lib.entry_filter_extract.restype = None
         lib.entry_filter_extract.argtypes = (
-            [ctypes.c_int64] + [ctypes.c_void_p] * 8
+            [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8
             + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int16,
                ctypes.c_int16, ctypes.c_void_p]
             + [ctypes.c_void_p] * 12

@@ -1177,8 +1177,12 @@ void ref_negate_channels(
 
 static const int16_t FILT_BASE_ID[11] = {0, 1, 2, 3, 0, 1, 2, 3, 8, 9, 10};
 
+// [j0, j1): entry subrange — the two passes are memory-bandwidth bound, so
+// the caller splits the table across worker threads (ctypes releases the
+// GIL) with per-thread output arrays merged in numpy.
 void entry_filter_stats(
-    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    int64_t j0, int64_t j1, const int64_t* pos, const int8_t* code,
+    const int16_t* bq,
     const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
     const int32_t* read_id, const int8_t* eflags,
     int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq, int32_t ins_cap,
@@ -1189,7 +1193,7 @@ void entry_filter_stats(
   for (int64_t c = 0; c < m; c++)
     depth[c] = nstarts[c] = nends[c] = nonref_cnt[c] = col_ins[c] = 0;
   int64_t n_sel = 0, n_nonref = 0, max_read = -1;
-  for (int64_t j = 0; j < n; j++) {
+  for (int64_t j = j0; j < j1; j++) {
     if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;
@@ -1213,7 +1217,8 @@ void entry_filter_stats(
 }
 
 void entry_filter_extract(
-    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    int64_t j0, int64_t j1, const int64_t* pos, const int8_t* code,
+    const int16_t* bq,
     const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
     const int32_t* read_id, const int8_t* eflags,
     int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq,
@@ -1226,7 +1231,7 @@ void entry_filter_extract(
     int8_t* nr_base, int8_t* nr_ik, int32_t* nr_ilen,
     int64_t* rse_pos, int32_t* rse_read, int64_t* out_n_rse) {
   int64_t n_rse = 0;
-  for (int64_t j = 0; j < n; j++) {
+  for (int64_t j = j0; j < j1; j++) {
     if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;

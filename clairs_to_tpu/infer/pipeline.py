@@ -109,6 +109,7 @@ class CallingPipeline:
         """
         if chunk in self._views_memo:
             return self._views_memo[chunk]
+        _t0 = __import__("time").time()
         ctg = chunk.ctg_name
         ctg_len = self.fasta.contig_length(ctg)
         region_start = max(chunk.ctg_start - WIN, 0)
@@ -173,6 +174,12 @@ class CallingPipeline:
             pe.apply_reference_encoding(neg_counts, region_start)
         views = (pe, aff_counts, neg_counts, region_start, region_end)
         self._views_memo[chunk] = views
+        if self.metrics is not None:
+            # decode runs on the prefetch worker, overlapping device compute
+            # and engine load — record it as its own (concurrent) stage
+            self.metrics.stage_seconds["decode_tensor_build(worker)"] += (
+                __import__("time").time() - _t0
+            )
         return views
 
     def _window(self, counts, center, region_start):

@@ -124,8 +124,10 @@ def haplotag_reads(n_reads, orientations, site_alleles):
 def apply_haplotags(pileup_engine, hp_per_read):
     """Overwrite the entry table's hp column from a per-read HP array."""
     a = pileup_engine._finalize()
-    new_hp = hp_per_read[a["read_id"]]
-    a["hp"] = new_hp.astype(np.int8)
+    hp_per_read = np.asarray(hp_per_read, np.int8)
+    # single gather pass (int8 source -> int8 result; an astype here would
+    # add a full extra copy of a 10^8-entry column)
+    a["hp"] = hp_per_read[a["read_id"]]
     pileup_engine._hp = a["hp"]
     return pileup_engine
 

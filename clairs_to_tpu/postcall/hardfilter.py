@@ -216,73 +216,110 @@ class FilterIndex:
 
     def _init_native(self, lib, a, n, m, min_bq, min_mq, native):
         """Two fused C++ passes (bamio/native/pileup_native.cpp:
-        entry_filter_stats / entry_filter_extract)."""
+        entry_filter_stats / entry_filter_extract), each split across two
+        worker threads (ctypes releases the GIL; the passes are
+        memory-bandwidth bound).  The counting sort stays stable because
+        thread 0 owns the lower entry-index range and its per-column
+        offsets precede thread 1's."""
         import ctypes
+        from concurrent.futures import ThreadPoolExecutor
 
         c = lambda x: np.ascontiguousarray(x)  # noqa: E731
         ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
         pos = c(a["pos"]); code = c(a["code"]); bq = c(a["bq"])
         mq = c(a["mq"]); ikind = c(a["ikind"]); ilen = c(a["ilen"])
         read_id = c(a["read_id"]); eflags = c(a["eflags"])
-        depth = np.empty(m, np.int64)
-        nstarts = np.empty(m, np.int64)
-        nends = np.empty(m, np.int64)
-        nonref_cnt = np.empty(m, np.int64)
-        col_ins = np.empty(m, np.int64)
-        n_sel = ctypes.c_int64(0)
-        n_nonref = ctypes.c_int64(0)
-        max_read = ctypes.c_int64(0)
-        lib.entry_filter_stats(
-            n, ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind), ptr(ilen),
-            ptr(read_id), ptr(eflags),
-            self.p0, m, int(min_bq), int(min_mq), 2 * FLANKING,
-            ptr(self.ref_tok),
-            ptr(depth), ptr(nstarts), ptr(nends), ptr(nonref_cnt),
-            ptr(col_ins),
-            ctypes.byref(n_sel), ctypes.byref(n_nonref),
-            ctypes.byref(max_read),
-        )
+        entry_args = (ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind),
+                      ptr(ilen), ptr(read_id), ptr(eflags))
+        n_threads = 2 if n >= 4_000_000 else 1
+        bounds = [(n * t // n_threads, n * (t + 1) // n_threads)
+                  for t in range(n_threads)]
+
+        def run_stats(rng_):
+            j0, j1 = rng_
+            cols = [np.empty(m, np.int64) for _ in range(5)]
+            ns = ctypes.c_int64(0)
+            nn = ctypes.c_int64(0)
+            mr = ctypes.c_int64(0)
+            lib.entry_filter_stats(
+                j0, j1, *entry_args,
+                self.p0, m, int(min_bq), int(min_mq), 2 * FLANKING,
+                ptr(self.ref_tok), *(ptr(x) for x in cols),
+                ctypes.byref(ns), ctypes.byref(nn), ctypes.byref(mr),
+            )
+            return cols, int(ns.value), int(nn.value), int(mr.value)
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            parts = list(ex.map(run_stats, bounds))
+        depth = sum(p[0][0] for p in parts)
+        nstarts = sum(p[0][1] for p in parts)
+        nends = sum(p[0][2] for p in parts)
+        nonref_cnt = sum(p[0][3] for p in parts)
+        col_ins = sum(p[0][4] for p in parts)
+        ns_total = sum(p[1] for p in parts)
+        nn_total = sum(p[2] for p in parts)
+        max_read = max(p[3] for p in parts)
         self.depth = depth
         self._nonref_cnt = nonref_cnt
         self.col_ins = col_ins.astype(np.float64)
-        self.n_reads = int(max_read.value) + 1 if max_read.value >= 0 else 1
+        self.n_reads = max_read + 1 if max_read >= 0 else 1
 
         side_start = nstarts > nends
         marked_len = np.where(side_start, nstarts, nends)
         colcond = (marked_len >= depth * EPS_RSE) & (depth > 0)
         col_side = np.where(colcond,
                             np.where(side_start, 1, 2), 0).astype(np.int8)
-        n_rse_cap = int(marked_len[colcond].sum())
 
-        sort_ofs = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(depth)])[:-1].copy()
-        nr_ofs = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(nonref_cnt)])[:-1].copy()
-        ns, nn = int(n_sel.value), int(n_nonref.value)
-        self.orig = native.huge_empty(ns, np.int32)
-        self.nr_entry = np.empty(nn, np.int32)
-        self.nr_pos = np.empty(nn, np.int64)
-        self.nr_read = np.empty(nn, np.int32)
-        self.nr_base = np.empty(nn, np.int8)
-        self.nr_ik = np.empty(nn, np.int8)
-        self.nr_ilen = np.empty(nn, np.int32)
-        rse_pos = np.empty(n_rse_cap, np.int64)
-        rse_read = np.empty(n_rse_cap, np.int32)
-        n_rse = ctypes.c_int64(0)
-        lib.entry_filter_extract(
-            n, ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind), ptr(ilen),
-            ptr(read_id), ptr(eflags),
-            self.p0, m, int(min_bq), int(min_mq), ptr(self.ref_tok),
-            ptr(col_side), ptr(sort_ofs), ptr(nr_ofs),
-            ptr(self.orig), ptr(self.nr_entry), ptr(self.nr_pos),
-            ptr(self.nr_read), ptr(self.nr_base), ptr(self.nr_ik),
-            ptr(self.nr_ilen),
-            ptr(rse_pos), ptr(rse_read), ctypes.byref(n_rse),
-        )
-        nr = int(n_rse.value)
-        ro = np.argsort(rse_pos[:nr], kind="stable")
-        self.rse_pos = rse_pos[:nr][ro]
-        self.rse_read = rse_read[:nr][ro].astype(np.int64)
+        base_sort = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(depth)])[:-1]
+        base_nr = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(nonref_cnt)])[:-1]
+        self.orig = native.huge_empty(ns_total, np.int32)
+        self.nr_entry = np.empty(nn_total, np.int32)
+        self.nr_pos = np.empty(nn_total, np.int64)
+        self.nr_read = np.empty(nn_total, np.int32)
+        self.nr_base = np.empty(nn_total, np.int8)
+        self.nr_ik = np.empty(nn_total, np.int8)
+        self.nr_ilen = np.empty(nn_total, np.int32)
+
+        # per-thread start offsets: thread t starts after threads <t's
+        # per-column contributions
+        sort_ofs_t, nr_ofs_t, rse_caps = [], [], []
+        acc_d = np.zeros(m, np.int64)
+        acc_n = np.zeros(m, np.int64)
+        for (cols, _ns, _nn, _mr) in parts:
+            sort_ofs_t.append(base_sort + acc_d)
+            nr_ofs_t.append(base_nr + acc_n)
+            cap = int(np.where(colcond,
+                               np.where(side_start, cols[1], cols[2]),
+                               0).sum())
+            rse_caps.append(cap)
+            acc_d += cols[0]
+            acc_n += cols[3]
+
+        def run_extract(t):
+            j0, j1 = bounds[t]
+            rse_pos = np.empty(rse_caps[t], np.int64)
+            rse_read = np.empty(rse_caps[t], np.int32)
+            n_rse = ctypes.c_int64(0)
+            lib.entry_filter_extract(
+                j0, j1, *entry_args,
+                self.p0, m, int(min_bq), int(min_mq), ptr(self.ref_tok),
+                ptr(col_side), ptr(sort_ofs_t[t]), ptr(nr_ofs_t[t]),
+                ptr(self.orig), ptr(self.nr_entry), ptr(self.nr_pos),
+                ptr(self.nr_read), ptr(self.nr_base), ptr(self.nr_ik),
+                ptr(self.nr_ilen),
+                ptr(rse_pos), ptr(rse_read), ctypes.byref(n_rse),
+            )
+            return rse_pos[: n_rse.value], rse_read[: n_rse.value]
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            outs = list(ex.map(run_extract, range(n_threads)))
+        rse_pos = np.concatenate([o[0] for o in outs])
+        rse_read = np.concatenate([o[1] for o in outs])
+        ro = np.argsort(rse_pos, kind="stable")
+        self.rse_pos = rse_pos[ro]
+        self.rse_read = rse_read[ro].astype(np.int64)
         self.nr_read = self.nr_read.astype(np.int64)
 
     def _init_numpy(self, a, n, m, min_bq, min_mq):
