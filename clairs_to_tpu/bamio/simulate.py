@@ -305,7 +305,35 @@ def make_multi_contig_dataset(out_dir, n_contigs=2, seed=0, **kw):
                     continue
                 gt = "0/1" if v.af < 0.95 else "1/1"
                 f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\tGT:AF\t{gt}:{v.af:.3f}\n")
+    # per-type truths (the reference benchmarks snv/indel against
+    # type-split truth files)
+    for kind, fname in (("snv", "truth_snv.vcf"), ("indel", "truth_indel.vcf")):
+        with open(os.path.join(out_dir, fname), "w") as f:
+            f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                    "\tFILTER\tINFO\tFORMAT\tS\n")
+            for ctg in names:
+                for v in all_variants[ctg]:
+                    if v.germline:
+                        continue
+                    is_snv = len(v.ref) == 1 and len(v.alt) == 1
+                    if (kind == "snv") != is_snv:
+                        continue
+                    gt = "0/1" if v.af < 0.95 else "1/1"
+                    f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60"
+                            f"\tPASS\t.\tGT:AF\t{gt}:{v.af:.3f}\n")
+    # population-variant truth: the sim's germline sites play the role of a
+    # PoN database (gnomAD/dbSNP analog) for --panel_of_normals runs
+    germline_path = os.path.join(out_dir, "germline.vcf")
+    with open(germline_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                "\tFILTER\tINFO\n")
+        for ctg in names:
+            for v in all_variants[ctg]:
+                if v.germline:
+                    f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}"
+                            f"\t60\tPASS\t.\n")
     return dict(fasta=fasta_path, bam=bam_path, truth=truth_path,
+                germline=germline_path,
                 genomes=genomes, variants=all_variants, ctgs=names)
 
 
