@@ -9,8 +9,9 @@ Prints ONE JSON line:
 Methodology (round-3; addresses the round-2 verdict's amortization and
 warmup items):
 
-- Workload: 4 Mb @ 60x ONT-like simulated tumor BAM (~9-10k candidate
-  sites) — large enough that engine startup is <10 % of the calling wall.
+- Workload: 8 Mb @ 60x ONT-like simulated tumor BAM (~19k candidate sites,
+  2 genome chunks) — large enough that engine startup is a small fraction
+  of the calling wall and the last chunk runs in the page-warm regime.
 - The CLI is run TWICE.  Run 1 ("cold") may AOT-compile the engines; run 2
   ("warm") loads cached executables, and the CLI warms them with a zero
   batch inside the load_engines stage, so run 2's `calling` stage is

@@ -104,10 +104,6 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
-        lib.arena_alloc.restype = ctypes.c_void_p
-        lib.arena_alloc.argtypes = [ctypes.c_int64]
-        lib.arena_free.restype = None
-        lib.arena_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.entry_filter_stats.restype = None
         lib.entry_filter_stats.argtypes = (
             [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8

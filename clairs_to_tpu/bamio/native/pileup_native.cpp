@@ -29,7 +29,6 @@
 #include <unordered_map>
 #include <vector>
 #include <zlib.h>
-#include <sys/mman.h>
 
 namespace {
 
@@ -1258,17 +1257,5 @@ void entry_filter_extract(
 }
 
 
-// Hugepage-backed buffer allocation for the large entry-table arenas.
-// This VM faults 4 KB pages at ~250 MB/s; MADV_HUGEPAGE first-touch runs
-// ~7x faster, which dominates cold-chunk decode (10^8 x 32 B entries).
-void* arena_alloc(int64_t size) {
-  void* p = mmap(nullptr, (size_t)size, PROT_READ | PROT_WRITE,
-                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-  if (p == MAP_FAILED) return nullptr;
-  madvise(p, (size_t)size, MADV_HUGEPAGE);
-  return p;
-}
-
-void arena_free(void* p, int64_t size) { munmap(p, (size_t)size); }
 
 }  // extern "C"

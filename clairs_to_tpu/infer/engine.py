@@ -157,6 +157,12 @@ class InferenceEngine:
         B = self.device_batch
         x = np.zeros((B, 33, 34), np.float32)
         cov = np.ones((B,), np.float32)
+        if self._data_sharding is not None:
+            # compile for the shardings run_batch actually passes — a
+            # Compiled rejects inputs whose shardings disagree with the
+            # ones it was lowered with
+            x = jax.device_put(x, self._data_sharding)
+            cov = jax.device_put(cov, self._data_sharding)
         desc = dict(
             program="forward",
             mode=self.mode,
@@ -165,6 +171,7 @@ class InferenceEngine:
             device_batch=B,
             matmul_precision=self.matmul_precision,
             use_pallas=self.use_pallas,
+            min_rescale_cov=self.min_rescale_cov,  # traced constant
             n_devices=self.mesh.size if self.mesh is not None else 1,
         )
         self._forward = aot.load_or_compile(

@@ -16,6 +16,8 @@ import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import time as _time
+
 import numpy as np
 
 from clairs_to_tpu import config as cfg
@@ -109,7 +111,7 @@ class CallingPipeline:
         """
         if chunk in self._views_memo:
             return self._views_memo[chunk]
-        _t0 = __import__("time").time()
+        _t0 = _time.time()
         ctg = chunk.ctg_name
         ctg_len = self.fasta.contig_length(ctg)
         region_start = max(chunk.ctg_start - WIN, 0)
@@ -178,7 +180,7 @@ class CallingPipeline:
             # decode runs on the prefetch worker, overlapping device compute
             # and engine load — record it as its own (concurrent) stage
             self.metrics.stage_seconds["decode_tensor_build(worker)"] += (
-                __import__("time").time() - _t0
+                _time.time() - _t0
             )
         return views
 
