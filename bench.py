@@ -134,17 +134,26 @@ def measure_parity_path(batch_sizes=(512, 2048, 8192)):
 
 
 def measure_device_only():
+    """Fused program with DEVICE-RESIDENT inputs — the TPU ceiling.
+
+    The tunneled chip moves host<->device data at ~80-100 MB/s, so any
+    per-call transfer measurement is a tunnel benchmark, not a device one
+    (a real PCIe/ICI deployment does not have this constraint)."""
     import jax
 
     eng = _flagship_engine(2048)
     rng = np.random.default_rng(0)
-    x = rng.integers(-40, 40, size=(2048, 33, 34)).astype(np.float32)
-    cov = rng.integers(10, 120, size=(2048,)).astype(np.float32)
-    jax.block_until_ready(eng.run_batch_fused(x, x, cov, cov))
-    iters = 20
+    x = jax.device_put(
+        rng.integers(-40, 40, size=(2048, 33, 34)).astype(np.float32))
+    cov = jax.device_put(
+        rng.integers(10, 120, size=(2048,)).astype(np.float32))
+    fused = eng._forward_fused
+    args = (eng.aff_params, eng.neg_params, x, x, cov, cov)
+    jax.block_until_ready(fused(*args))
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = eng.run_batch_fused(x, x, cov, cov)
+        out = fused(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return 2048 * iters / dt
