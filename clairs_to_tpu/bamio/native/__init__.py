@@ -109,14 +109,14 @@ def get_lib():
             [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8
             + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int16,
                ctypes.c_int16, ctypes.c_int32, ctypes.c_void_p]
-            + [ctypes.c_void_p] * 8
+            + [ctypes.c_void_p] * 9
         )
         lib.entry_filter_extract.restype = None
         lib.entry_filter_extract.argtypes = (
             [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8
             + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int16,
                ctypes.c_int16, ctypes.c_void_p]
-            + [ctypes.c_void_p] * 12
+            + [ctypes.c_void_p] * 13
         )
         lib.ref_negate_channels.restype = None
         lib.ref_negate_channels.argtypes = [

@@ -1186,6 +1186,8 @@ void entry_filter_stats(
     const int32_t* read_id, const int8_t* eflags,
     int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq, int32_t ins_cap,
     const int16_t* ref_tok,
+    const uint8_t* col_mask,  // optional [m]: 0 = column outside any
+                              // verdict window, entry skipped entirely
     int64_t* depth, int64_t* nstarts, int64_t* nends,
     int64_t* nonref_cnt, int64_t* col_ins,
     int64_t* out_n_sel, int64_t* out_n_nonref, int64_t* out_max_read) {
@@ -1196,6 +1198,7 @@ void entry_filter_stats(
     if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;
+    if (col_mask && !col_mask[c]) continue;
     n_sel++;
     depth[c]++;
     if (read_id[j] > max_read) max_read = read_id[j];
@@ -1222,6 +1225,7 @@ void entry_filter_extract(
     const int32_t* read_id, const int8_t* eflags,
     int64_t p0, int64_t m, int16_t min_bq, int16_t min_mq,
     const int16_t* ref_tok,
+    const uint8_t* col_mask,
     const int8_t* col_side,   // 0 = unmarked col, 1 = starts marked, 2 = ends
     int64_t* sort_ofs,        // [m] column start offsets (consumed)
     int64_t* nr_ofs,          // [m] nonref column start offsets (consumed)
@@ -1234,6 +1238,7 @@ void entry_filter_extract(
     if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;
+    if (col_mask && !col_mask[c]) continue;
     orig[sort_ofs[c]++] = (int32_t)j;
     int16_t b = FILT_BASE_ID[(int)code[j]];
     bool is_ref = (ikind[j] == 0) && (b == ref_tok[c]);

@@ -419,6 +419,7 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             hetero_germline=[(r["POS"] - 1, r["ALT"]) for r in het_rows],
             homo_germline=[(r["POS"] - 1, r["ALT"]) for r in hom_rows],
             disable_read_start_end_filtering=args.disable_read_start_end_filtering,
+            site_positions=[r["POS"] - 1 for r in pass_rows],
         )
         verdicts = {}
         for row in pass_rows:
@@ -452,6 +453,7 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
         engine = HardFilterEngine(
             pe,
             disable_read_start_end_filtering=args.disable_read_start_end_filtering,
+            site_positions=[r["POS"] - 1 for r in pass_rows],
         )
         verdicts = {}
         for row in pass_rows:

@@ -70,7 +70,8 @@ class HaplotypeFilterEngine:
     def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
                  max_co_exist_read_num=2,
                  disable_read_start_end_filtering=False,
-                 hetero_germline=None, homo_germline=None):
+                 hetero_germline=None, homo_germline=None,
+                 site_positions=None):
         """hetero/homo_germline: [(pos0, alt_base)] flanking germline calls
         from the pileup germline VCF (haplotype_filtering.py:901-939).
 
@@ -86,7 +87,8 @@ class HaplotypeFilterEngine:
         self.disable_rse = disable_read_start_end_filtering
         self.hetero_germline = sorted(hetero_germline or [])
         self.homo_germline = sorted(homo_germline or [])
-        self.ix = FilterIndex(pileup_engine, min_bq, min_mq)
+        self.ix = FilterIndex(pileup_engine, min_bq, min_mq,
+                              site_positions=site_positions)
         self._het_memo = {}
         self._hom_memo = {}
 

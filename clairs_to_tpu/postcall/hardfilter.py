@@ -154,7 +154,15 @@ class FilterIndex:
         (postfilter_variants.py:419-430, haplotype_filtering.py:358-373).
     """
 
-    def __init__(self, pileup_engine, min_bq, min_mq):
+    def __init__(self, pileup_engine, min_bq, min_mq, site_positions=None):
+        """site_positions: optional iterable of 0-based verdict sites.  When
+        given, the index only materializes columns within +-FLANKING of a
+        site — every verdict reads nothing beyond that window, and at
+        realistic site density (10-100 sites per Mb vs 10^6 columns) this
+        cuts index size and build time by orders of magnitude.  Columns
+        outside the mask read as empty (verdicts at unlisted positions
+        would silently see no coverage; callers pass their full site set).
+        """
         pe = pileup_engine
         a = pe._finalize()
         self.pe = pe
@@ -166,6 +174,16 @@ class FilterIndex:
         self.p0 = int(a["pos"].min())
         self.p1 = int(a["pos"].max()) + 1
         m = self.p1 - self.p0
+        self.col_mask = None
+        if site_positions is not None:
+            sites = np.asarray(sorted(set(int(p) for p in site_positions)),
+                               np.int64)
+            self.col_mask = np.zeros(m, np.uint8)
+            for p in sites:
+                lo = max(int(p) - FLANKING, self.p0) - self.p0
+                hi = min(int(p) + FLANKING + 1, self.p1) - self.p0
+                if hi > lo:
+                    self.col_mask[lo:hi] = 1
 
         # ref token per column
         ref_lo = self.p0 - pe.ref_start
@@ -231,6 +249,8 @@ class FilterIndex:
         read_id = c(a["read_id"]); eflags = c(a["eflags"])
         entry_args = (ptr(pos), ptr(code), ptr(bq), ptr(mq), ptr(ikind),
                       ptr(ilen), ptr(read_id), ptr(eflags))
+        mask_ptr = (ptr(self.col_mask) if self.col_mask is not None
+                    else ctypes.c_void_p(0))
         n_threads = 2 if n >= 4_000_000 else 1
         bounds = [(n * t // n_threads, n * (t + 1) // n_threads)
                   for t in range(n_threads)]
@@ -244,7 +264,7 @@ class FilterIndex:
             lib.entry_filter_stats(
                 j0, j1, *entry_args,
                 self.p0, m, int(min_bq), int(min_mq), 2 * FLANKING,
-                ptr(self.ref_tok), *(ptr(x) for x in cols),
+                ptr(self.ref_tok), mask_ptr, *(ptr(x) for x in cols),
                 ctypes.byref(ns), ctypes.byref(nn), ctypes.byref(mr),
             )
             return cols, int(ns.value), int(nn.value), int(mr.value)
@@ -305,7 +325,8 @@ class FilterIndex:
             lib.entry_filter_extract(
                 j0, j1, *entry_args,
                 self.p0, m, int(min_bq), int(min_mq), ptr(self.ref_tok),
-                ptr(col_side), ptr(sort_ofs_t[t]), ptr(nr_ofs_t[t]),
+                mask_ptr, ptr(col_side), ptr(sort_ofs_t[t]),
+                ptr(nr_ofs_t[t]),
                 ptr(self.orig), ptr(self.nr_entry), ptr(self.nr_pos),
                 ptr(self.nr_read), ptr(self.nr_base), ptr(self.nr_ik),
                 ptr(self.nr_ilen),
@@ -326,6 +347,9 @@ class FilterIndex:
         """Pure-numpy fallback with identical outputs (tests cross-validate
         the two paths via the golden filter suite)."""
         sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] != 10)
+        if self.col_mask is not None:
+            rel_all = a["pos"] - self.p0
+            sel &= self.col_mask[rel_all].astype(bool)
         sel_idx = np.nonzero(sel)[0]
         pos_sel = a["pos"][sel_idx]
         rel = (pos_sel - self.p0).astype(np.int64)
@@ -376,6 +400,7 @@ class FilterIndex:
         self.rse_read = a["read_id"][mk][ro].astype(np.int64)
 
     def _init_empty(self):
+        self.col_mask = None
         self.p0 = self.p1 = 0
         self.orig = np.zeros(0, np.int32)
         self.depth = np.zeros(0, np.int64)
@@ -526,17 +551,22 @@ class HardFilterEngine:
 
     def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
                  max_co_exist_read_num=2,
-                 disable_read_start_end_filtering=False):
+                 disable_read_start_end_filtering=False,
+                 site_positions=None):
         """Defaults pin the reference driver's postfilter invocation:
         --min-BQ param.min_bq=0 and --min_alt_coverage 2
         (postfilter_variants.py:795-801; run_clairs_to passes neither).
-        Verified by tests/test_golden_filters.py."""
+        Verified by tests/test_golden_filters.py.
+
+        site_positions: optional full set of verdict sites — restricts the
+        index to their +-FLANKING windows (see FilterIndex)."""
         self.pe = pileup_engine
         self.min_bq = min_bq
         self.min_mq = min_mq
         self.max_co_exist = max_co_exist_read_num
         self.disable_rse = disable_read_start_end_filtering
-        self.ix = FilterIndex(pileup_engine, min_bq, min_mq)
+        self.ix = FilterIndex(pileup_engine, min_bq, min_mq,
+                              site_positions=site_positions)
 
     def verdict(self, pos0, ref_base, alt_base):
         """Run the four verdicts for a call at 0-based pos0."""

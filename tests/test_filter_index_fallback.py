@@ -71,3 +71,23 @@ def test_verdicts_identical_across_paths(engine, monkeypatch):
         assert v1.strand_bias_p == v2.strand_bias_p
         compared += 1
     assert compared >= 5
+
+
+def test_site_restricted_index_matches_full(engine):
+    """The windowed index must produce identical verdicts for every listed
+    site (all verdict reads stay within +-FLANKING of a site)."""
+    pe, sites = engine
+    full = HardFilterEngine(pe)
+    restricted = HardFilterEngine(
+        pe, site_positions=[p for (p, _r, _a) in sites])
+    for (pos0, ref, alt) in sites:
+        v1 = full.verdict(pos0, ref, alt)
+        v2 = restricted.verdict(pos0, ref, alt)
+        assert (v1.pass_read_start_end, v1.pass_co_exist,
+                v1.pass_strand_bias, v1.pass_sequence_entropy,
+                v1.strand_table, v1.strand_bias_p) == \
+               (v2.pass_read_start_end, v2.pass_co_exist,
+                v2.pass_strand_bias, v2.pass_sequence_entropy,
+                v2.strand_table, v2.strand_bias_p)
+    # and the restricted index is actually smaller
+    assert len(restricted.ix.orig) < len(full.ix.orig)
