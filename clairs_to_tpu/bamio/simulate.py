@@ -333,6 +333,8 @@ def make_multi_contig_dataset(out_dir, n_contigs=2, seed=0, **kw):
                     f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}"
                             f"\t60\tPASS\t.\n")
     return dict(fasta=fasta_path, bam=bam_path, truth=truth_path,
+                truth_snv=os.path.join(out_dir, "truth_snv.vcf"),
+                truth_indel=os.path.join(out_dir, "truth_indel.vcf"),
                 germline=germline_path,
                 genomes=genomes, variants=all_variants, ctgs=names)
 
