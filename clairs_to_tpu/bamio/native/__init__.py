@@ -123,6 +123,24 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.pileup_window_reduce.restype = ctypes.c_void_p
+        lib.pileup_window_reduce.argtypes = (
+            [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_int] * 9
+            + [ctypes.c_void_p] * 8 + [ctypes.c_void_p]
+        )
+        lib.pileup_window_entries_count.restype = None
+        lib.pileup_window_entries_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pileup_window_entries_fill.restype = ctypes.c_int64
+        lib.pileup_window_entries_fill.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 13
+        )
+        lib.pileup_window_release.restype = None
+        lib.pileup_window_release.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e
@@ -305,6 +323,7 @@ class BamStreamReader:
         self._h = lib.pileup_open_stream(bam_path.encode()) if lib else None
         self._last = None
         self._pool = []   # recycled arenas (dicts of base arrays)
+        self._flat_pool = []  # recycled flat int32 dense-count arenas
 
     # pooled arenas are capped by total bytes so deep-coverage windows
     # (5Mb @ 60x ~ 9.6GB/arena) cannot accumulate
@@ -328,6 +347,81 @@ class BamStreamReader:
         arena_bytes = sum(a.nbytes for a in arena.values())
         if self._pool_bytes() + arena_bytes <= self.POOL_MAX_BYTES:
             self._pool.append(arena)
+
+    def _recycle_flat(self, arena):
+        if len(self._flat_pool) < 3:
+            self._flat_pool.append(arena)
+
+    def load_window_reduced(self, ctg, start, end, excl_flags=2316,
+                            min_mapq=0, handle_overlaps=True, aff_min_bq=0,
+                            low_mq_thresh=20, low_bq_thresh=10,
+                            max_indel_length=60, with_phasing=False,
+                            cand_min_mq=20):
+        """Fused decode+reduce for a window -> NativeWindow (or None).
+
+        Requires non-decreasing window order like load_window; regressing
+        windows and missing native lib return None (callers fall back to
+        the entry-table path).  The dense int32 outputs live in one flat
+        pooled hugepage arena — re-used across windows, so the multi-GB
+        first-touch cost (the round-3 wall) is paid once per run."""
+        lib = get_lib()
+        if lib is None or self._h is None:
+            return None
+        key = (ctg, int(start))
+        if (self._last is not None and self._last[0] == ctg
+                and key[1] < self._last[1]):
+            return None  # regressed window: stream cannot rewind
+        L = int(end) - int(start)
+        nchan = 34 + (16 if with_phasing else 0)
+        dual = 1 if aff_min_bq > 0 else 0
+        need = L * (2 * nchan + 9)  # dual worst-case so pooling is uniform
+        arena = None
+        for k, cand in enumerate(self._flat_pool):
+            if len(cand) >= need:
+                arena = self._flat_pool.pop(k)
+                break
+        if arena is None:
+            arena = huge_empty(int(need * 1.05) + 1024, np.int32)
+        off = 0
+
+        def take(n):
+            nonlocal off
+            v = arena[off : off + n]
+            off += n
+            return v
+
+        views = dict(
+            aff=take(L * nchan).reshape(L, nchan),
+            aff_depth=take(L),
+            neg=take(L * nchan).reshape(L, nchan) if dual else None,
+            neg_depth=take(L) if dual else None,
+            cand_base=take(L * 4).reshape(L, 4),
+            cand_depth=take(L),
+            cand_ins=take(L),
+            cand_del=take(L),
+        )
+        p = lambda a: (a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+                       if a is not None else ctypes.c_void_p(0))
+        n_reads = ctypes.c_int64(0)
+        h = lib.pileup_window_reduce(
+            self._h, ctg.encode(), int(start), int(end),
+            int(excl_flags), int(min_mapq), 1 if handle_overlaps else 0,
+            int(aff_min_bq), int(low_mq_thresh), int(low_bq_thresh),
+            int(max_indel_length), 1 if with_phasing else 0,
+            int(cand_min_mq), dual,
+            p(views["aff"]), p(views["aff_depth"]),
+            p(views["neg"]), p(views["neg_depth"]),
+            p(views["cand_base"]), p(views["cand_depth"]),
+            p(views["cand_ins"]), p(views["cand_del"]),
+            ctypes.byref(n_reads),
+        )
+        self._last = key
+        if not h:
+            self._recycle_flat(arena)
+            return None
+        return NativeWindow(self, h, start, end, nchan, bool(dual), arena,
+                            views, n_reads.value, aff_min_bq=aff_min_bq,
+                            cand_min_mq=cand_min_mq)
 
     def close(self):
         if self._h:
@@ -417,6 +511,99 @@ class BamStreamReader:
             iseq_off=iseq_off, iseq_blob=blob,
             _arena=arena,
         )
+
+
+class NativeWindow:
+    """Fused-reduce window: dense per-position views + lazy masked entries.
+
+    Produced by ``BamStreamReader.load_window_reduced``: one decode pass of
+    the window's reads accumulated the dual-BQ tensor channel counts and
+    candidate stats directly (pileup_native.cpp::pileup_window_reduce),
+    WITHOUT materializing the full entry table; the C++ handle retains the
+    parsed records so ``entries_for_mask`` can materialize entry-table
+    arrays for arbitrary site windows afterwards (same array layout and
+    read numbering as the full-table decode).
+    """
+
+    def __init__(self, stream, handle, start, end, nchan, dual, arena,
+                 views, n_reads, aff_min_bq=0, cand_min_mq=20):
+        self._stream = stream
+        self._h = handle
+        self.start = int(start)
+        self.end = int(end)
+        self.nchan = nchan
+        self.dual = dual
+        self.aff_min_bq = int(aff_min_bq)
+        self.cand_min_mq = int(cand_min_mq)
+        self.with_phasing = nchan > 34
+        self._arena = arena        # flat pooled int32 buffer backing views
+        self.aff_counts = views["aff"]
+        self.aff_depth = views["aff_depth"]
+        self.neg_counts = views["neg"] if dual else views["aff"]
+        self.neg_depth = views["neg_depth"] if dual else views["aff_depth"]
+        self.cand_base = views["cand_base"]
+        self.cand_depth = views["cand_depth"]
+        self.cand_ins = views["cand_ins"]
+        self.cand_del = views["cand_del"]
+        self.n_reads = int(n_reads)
+
+    def entries_for_mask(self, mask, mask_start):
+        """Entry-table dict for the masked columns (uint8 mask array).
+
+        Two-phase: exact-size count then direct fill into numpy arrays.
+        Entries appear in read order (= mpileup column order per column);
+        read_id is the read's stable window ordinal."""
+        lib = get_lib()
+        mask = np.ascontiguousarray(mask, np.uint8)
+        n_c = ctypes.c_int64(0)
+        bl_c = ctypes.c_int64(0)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_window_entries_count(
+            self._h, p(mask), int(mask_start), len(mask),
+            ctypes.byref(n_c), ctypes.byref(bl_c),
+        )
+        n, blob_len = n_c.value, bl_c.value
+        pos = np.empty(n, np.int64)
+        code = np.empty(n, np.int8)
+        bq = np.empty(n, np.int16)
+        mq = np.empty(n, np.int16)
+        hp = np.empty(n, np.int8)
+        ikind = np.empty(n, np.int8)
+        ilen = np.empty(n, np.int32)
+        iseq_off = np.empty(n, np.int64)
+        blob = np.empty(blob_len, np.uint8)
+        read_id = np.empty(n, np.int32)
+        eflags = np.empty(n, np.int8)
+        n_used = ctypes.c_int64(0)
+        blob_used = ctypes.c_int64(0)
+        lib.pileup_window_entries_fill(
+            self._h, p(mask), int(mask_start), len(mask),
+            p(pos), p(code), p(bq), p(mq), p(hp), p(ikind), p(ilen),
+            p(iseq_off), p(blob), p(read_id), p(eflags),
+            ctypes.byref(n_used), ctypes.byref(blob_used),
+        )
+        assert n_used.value == n and blob_used.value == blob_len
+        return dict(
+            pos=pos, code=code, bq=bq, mq=mq, hp=hp, ikind=ikind, ilen=ilen,
+            iseq=LazyIseq(blob, iseq_off, ilen, ikind),
+            read_id=read_id, eflags=eflags,
+            iseq_off=iseq_off, iseq_blob=blob,
+        )
+
+    def close(self):
+        """Release the C++ record retention and pool the dense arena."""
+        if self._h is not None:
+            get_lib().pileup_window_release(self._h)
+            self._h = None
+        if self._arena is not None and self._stream is not None:
+            self._stream._recycle_flat(self._arena)
+            self._arena = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def load_entry_table(bam_path, ctg, start, end, excl_flags=2316, min_mapq=0,

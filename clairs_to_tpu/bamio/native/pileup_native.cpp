@@ -25,6 +25,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -462,7 +463,10 @@ struct RawRecord {
 struct BamStream {
   BgzfReader* reader = nullptr;
   std::vector<std::string> ref_names;
-  std::deque<RawRecord> buffer;   // decoded, not yet consumed past their end
+  // decoded, not yet consumed past their end; shared_ptr so a WindowHandle
+  // (the fused-reduce path) can retain a window's records across the
+  // stream's advance to the next window (decode-ahead prefetch)
+  std::deque<std::shared_ptr<RawRecord>> buffer;
   bool eof = false;
   ~BamStream() { delete reader; }
 };
@@ -553,13 +557,47 @@ void count_record(const RawRecord& rr, int excl_flags, int min_mapq,
 }
 
 // Pending direct-fill window: records selected by _begin, decoded by _fill.
-// RawRecord pointers into the stream deque stay valid until the next _begin
-// (deque references survive push_back; pops only happen in _begin).
+// shared_ptr ownership keeps the records alive independently of the
+// stream's deque (which advances during decode-ahead prefetch).
 struct PendingWindow {
   BamStream* stream;
-  std::vector<const RawRecord*> records;
+  std::vector<std::shared_ptr<RawRecord>> records;
   int excl_flags, min_mapq, handle_overlaps;
 };
+
+// Advance the stream to `rid`:[start,end) and collect the overlapping
+// records (stream order preserved).  Shared by the legacy entry-table
+// windows and the fused-reduce path.
+void select_window_records(BamStream* s, int rid, int64_t start, int64_t end,
+                           std::vector<std::shared_ptr<RawRecord>>* out) {
+  while (!s->buffer.empty() &&
+         (s->buffer.front()->ref_id < rid ||
+          (s->buffer.front()->ref_id == rid && s->buffer.front()->end <= start)))
+    s->buffer.pop_front();
+  for (auto& rr : s->buffer)
+    if (rr->ref_id == rid && rr->pos < end && rr->end > start)
+      out->push_back(rr);
+  while (!s->eof) {
+    if (!s->buffer.empty() &&
+        (s->buffer.back()->ref_id > rid ||
+         (s->buffer.back()->ref_id == rid && s->buffer.back()->pos >= end)))
+      break;
+    auto rr = std::make_shared<RawRecord>();
+    if (!decode_one_record(s, rr.get())) { s->eof = true; break; }
+    if (rr->ref_id < rid || (rr->ref_id == rid && rr->end <= start)) continue;
+    bool overlaps = rr->ref_id == rid && rr->pos < end && rr->end > start;
+    bool past = rr->ref_id > rid || (rr->ref_id == rid && rr->pos >= end);
+    s->buffer.push_back(rr);
+    if (overlaps) out->push_back(rr);
+    if (past) break;
+  }
+}
+
+int stream_rid(BamStream* s, const char* ctg) {
+  for (size_t i = 0; i < s->ref_names.size(); i++)
+    if (s->ref_names[i] == ctg) return (int)i;
+  return -1;
+}
 
 extern "C" {
 
@@ -599,39 +637,14 @@ void* pileup_stream_window(void* sh, const char* ctg, int64_t start,
                            int64_t end, int excl_flags, int min_mapq,
                            int handle_overlaps) {
   auto* s = (BamStream*)sh;
-  int rid = -1;
-  for (size_t i = 0; i < s->ref_names.size(); i++)
-    if (s->ref_names[i] == ctg) { rid = (int)i; break; }
+  int rid = stream_rid(s, ctg);
   if (rid < 0) return nullptr;
 
   auto* table = new EntryTable();
   Decoder dec(table, handle_overlaps != 0);
-
-  // drop buffered records wholly before the window (or earlier contigs)
-  while (!s->buffer.empty() &&
-         (s->buffer.front().ref_id < rid ||
-          (s->buffer.front().ref_id == rid && s->buffer.front().end <= start)))
-    s->buffer.pop_front();
-  // feed buffered overlapping records
-  for (auto& rr : s->buffer)
-    if (rr.ref_id == rid && rr.pos < end && rr.end > start)
-      feed_record(dec, rr, excl_flags, min_mapq);
-  // advance the stream
-  while (!s->eof) {
-    if (!s->buffer.empty() &&
-        (s->buffer.back().ref_id > rid ||
-         (s->buffer.back().ref_id == rid && s->buffer.back().pos >= end)))
-      break;
-    RawRecord rr;
-    if (!decode_one_record(s, &rr)) { s->eof = true; break; }
-    if (rr.ref_id < rid || (rr.ref_id == rid && rr.end <= start)) continue;
-    bool overlaps = rr.ref_id == rid && rr.pos < end && rr.end > start;
-    if (overlaps) feed_record(dec, rr, excl_flags, min_mapq);
-    bool past = rr.ref_id > rid || (rr.ref_id == rid && rr.pos >= end);
-    // keep records that may overlap future windows
-    s->buffer.push_back(std::move(rr));
-    if (past) break;
-  }
+  std::vector<std::shared_ptr<RawRecord>> records;
+  select_window_records(s, rid, start, end, &records);
+  for (auto& rr : records) feed_record(dec, *rr, excl_flags, min_mapq);
   return table;
 }
 
@@ -644,37 +657,14 @@ void* pileup_stream_window_begin(void* sh, const char* ctg, int64_t start,
                                  int handle_overlaps, int64_t* n_entries,
                                  int64_t* blob_len) {
   auto* s = (BamStream*)sh;
-  int rid = -1;
-  for (size_t i = 0; i < s->ref_names.size(); i++)
-    if (s->ref_names[i] == ctg) { rid = (int)i; break; }
+  int rid = stream_rid(s, ctg);
   if (rid < 0) return nullptr;
 
   auto* pw = new PendingWindow{s, {}, excl_flags, min_mapq, handle_overlaps};
   *n_entries = 0;
   *blob_len = 0;
-
-  while (!s->buffer.empty() &&
-         (s->buffer.front().ref_id < rid ||
-          (s->buffer.front().ref_id == rid && s->buffer.front().end <= start)))
-    s->buffer.pop_front();
-  for (auto& rr : s->buffer)
-    if (rr.ref_id == rid && rr.pos < end && rr.end > start)
-      pw->records.push_back(&rr);
-  while (!s->eof) {
-    if (!s->buffer.empty() &&
-        (s->buffer.back().ref_id > rid ||
-         (s->buffer.back().ref_id == rid && s->buffer.back().pos >= end)))
-      break;
-    RawRecord rr;
-    if (!decode_one_record(s, &rr)) { s->eof = true; break; }
-    if (rr.ref_id < rid || (rr.ref_id == rid && rr.end <= start)) continue;
-    bool overlaps = rr.ref_id == rid && rr.pos < end && rr.end > start;
-    bool past = rr.ref_id > rid || (rr.ref_id == rid && rr.pos >= end);
-    s->buffer.push_back(std::move(rr));
-    if (overlaps) pw->records.push_back(&s->buffer.back());
-    if (past) break;
-  }
-  for (auto* rr : pw->records)
+  select_window_records(s, rid, start, end, &pw->records);
+  for (auto& rr : pw->records)
     count_record(*rr, excl_flags, min_mapq, n_entries, blob_len);
   return pw;
 }
@@ -696,7 +686,7 @@ int64_t pileup_stream_window_fill(void* pwh, int64_t* pos, int8_t* code,
   t.iseq_off.ext = iseq_off; t.read_id.ext = read_id; t.eflags.ext = eflags;
   t.iseq_blob.ext = blob;
   Decoder dec(&t, pw->handle_overlaps != 0);
-  for (auto* rr : pw->records)
+  for (auto& rr : pw->records)
     feed_record(dec, *rr, pw->excl_flags, pw->min_mapq);
   *n_used = (int64_t)t.pos.size();
   *blob_used = (int64_t)t.iseq_blob.size();
@@ -1262,5 +1252,665 @@ void entry_filter_extract(
 }
 
 
+
+}  // extern "C"
+
+// ===================================================================
+// Fused window reduce (round 4): decode a window's reads ONCE, directly
+// accumulating the dense per-position reductions every downstream stage
+// needs — the dual-BQ tensor channel counts (create_tensor semantics),
+// their depths, and the candidate-view stats (extract_candidates
+// semantics) — WITHOUT materializing the full column-entry table.
+//
+// Rationale: a 4Mb@60x chunk holds ~2.4e8 entries = ~7.7 GB of entry
+// arrays, and this host first-touch-faults fresh pages at ~250 MB/s, so
+// the table IS the end-to-end wall (BENCH_r03: decode 158s of a 156s
+// calling stage).  The dense outputs are ~1 GB (pooled and re-used across
+// chunks); full entries are materialized afterwards ONLY inside
+// candidate/filter site windows via pileup_window_entries_* — typically
+// 100-1000x fewer entries than the full table.
+//
+// Semantics are inherited 1:1 from the entry-table reductions above
+// (entry_channel_counts / entry_candidate_prefilter), which remain the
+// behavioral reference and are cross-validated in tests/test_fused_decode.
+// ===================================================================
+
+namespace {
+
+// Parsed view over a RawRecord body (no copies).
+struct RecView {
+  const char* name;
+  uint16_t flag;
+  int64_t pos;
+  uint8_t mapq;
+  const uint32_t* cigar;
+  int n_cigar;
+  const uint8_t* seq4;
+  const uint8_t* qual;   // nullptr when the 0xFF "missing" sentinel is set
+  int32_t l_seq;
+  const uint8_t* tags;
+  int tags_len;
+};
+
+bool parse_rec(const RawRecord& rr, int excl_flags, int min_mapq,
+               RecView* v) {
+  const uint8_t* rec = rr.rec.data();
+  int64_t block_size = (int64_t)rr.rec.size();
+  uint8_t l_read_name = rec[8];
+  v->mapq = rec[9];
+  memcpy(&v->n_cigar, rec + 12, 2);
+  v->n_cigar &= 0xFFFF;
+  memcpy(&v->flag, rec + 14, 2);
+  memcpy(&v->l_seq, rec + 16, 4);
+  if (v->flag & excl_flags) return false;
+  if (v->mapq < min_mapq) return false;
+  v->pos = rr.pos;
+  v->name = (const char*)rec + 32;
+  v->cigar = (const uint32_t*)(rec + 32 + l_read_name);
+  v->seq4 = rec + 32 + l_read_name + 4 * v->n_cigar;
+  const uint8_t* qual = v->seq4 + (v->l_seq + 1) / 2;
+  v->qual = (v->l_seq && qual[0] == 0xFF) ? nullptr : qual;
+  v->tags = qual + v->l_seq;
+  v->tags_len = (int)(rec + block_size - v->tags);
+  return true;
+}
+
+inline char rec_base(const RecView& v, int i) {
+  uint8_t c = (i & 1) ? (v.seq4[i >> 1] & 0xF) : (v.seq4[i >> 1] >> 4);
+  return SEQ_NT16[c];
+}
+inline int rec_qual(const RecView& v, int i) {
+  return v.qual ? v.qual[i] : 0;
+}
+
+// Open-addressing hash for indel distinct-seq events.  Key packs
+// (rel_pos <=26 bits, fwd, kind, len <=6 bits, 3-bit-packed seq <=8 bases)
+// plus a high tag bit so 0 stays the empty sentinel; longer insertion
+// seqs go to an exact std::string map (rare).
+struct IndelHash {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> affc, negc;
+  size_t msk = 0, used = 0;
+  void init(size_t want) {
+    size_t cap = 1024;
+    while (cap < want * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    affc.assign(cap, 0);
+    negc.assign(cap, 0);
+    msk = cap - 1;
+    used = 0;
+  }
+  void grow() {
+    IndelHash bigger;
+    bigger.init((msk + 1));
+    for (size_t i = 0; i <= msk; i++)
+      if (keys[i]) {
+        size_t j = bigger.find(keys[i]);
+        bigger.keys[j] = keys[i];
+        bigger.affc[j] = affc[i];
+        bigger.negc[j] = negc[i];
+        bigger.used++;
+      }
+    *this = std::move(bigger);
+  }
+  inline size_t find(uint64_t key) const {
+    size_t i = (size_t)(key * 0x9E3779B97F4A7C15ull) & msk;
+    while (keys[i] != 0 && keys[i] != key) i = (i + 1) & msk;
+    return i;
+  }
+  inline void add(uint64_t key, bool aff) {
+    if (used * 10 >= (msk + 1) * 7) grow();
+    size_t i = find(key);
+    if (keys[i] == 0) { keys[i] = key; used++; }
+    negc[i] += 1;
+    if (aff) affc[i] += 1;
+  }
+};
+
+inline int pack3(char b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return 4;
+  }
+}
+
+struct ReduceOut {
+  int32_t *aff, *aff_depth, *neg, *neg_depth;
+  int32_t *cand_base, *cand_depth, *cand_ins, *cand_del;
+  int64_t L;
+  int nchan;
+  int aff_bq, low_mq, low_bq, max_indel, with_phasing, dual, cand_min_mq;
+  IndelHash ih;
+  std::unordered_map<std::string, std::pair<int32_t, int32_t>> ih_long;
+};
+
+// One tensor view's accumulation for a single entry (mirrors
+// entry_channel_counts above; 'pure' = no indel suffix).
+inline void accum_tensor(ReduceOut& o, int32_t* out, int32_t* depth,
+                         int64_t rel, int c, int bq, int mq, int hp,
+                         int ikind, int ilen) {
+  bool hi_mq = mq >= o.low_mq;
+  int32_t* row = out + rel * o.nchan;
+  if (ikind == 0) {
+    if (hi_mq) {
+      int ch = c < 4 ? c : (c < 8 ? c + 5 : (c == 8 ? 8 : 17));
+      row[ch] += 1;
+      depth[rel] += 1;
+    } else if (c < 8) {
+      row[c < 4 ? c + 18 : c - 4 + 22] += 1;
+    }
+    if (c < 8 && bq < o.low_bq) row[c < 4 ? c + 26 : c - 4 + 30] += 1;
+  } else if (hi_mq) {
+    bool is_ins = ikind == 1;
+    bool ok = is_ins ? (ilen <= o.max_indel) : (ilen + 1 <= o.max_indel);
+    if (ok) {
+      bool fwd = (c < 4) || (c == 8);
+      depth[rel] += 1;
+      row[is_ins ? (fwd ? 4 : 13) : (fwd ? 6 : 15)] += 1;
+    }
+  }
+  if (o.with_phasing && c < 8 && (hp == 1 || hp == 2))
+    row[34 + (hp == 2 ? 8 : 0) + (c % 8)] += 1;
+}
+
+// Full per-entry accumulation: AFF view (bq >= aff_bq), NEG view (all bq,
+// only when dual), indel distinct-seq events, candidate-view stats.
+// seq: uppercase insertion sequence (only consulted for kind==1 with
+// ilen <= max_indel); may be null otherwise.
+inline void accum_entry(ReduceOut& o, int64_t rel, int c, int bq, int mq,
+                        int hp, int ikind, int ilen, const char* seq) {
+  if (c == 10) return;  // CODE_SKIP consumes nothing in any view
+  bool aff_ok = bq >= o.aff_bq;
+  if (aff_ok) accum_tensor(o, o.aff, o.aff_depth, rel, c, bq, mq, hp, ikind, ilen);
+  if (o.dual) accum_tensor(o, o.neg, o.neg_depth, rel, c, bq, mq, hp, ikind, ilen);
+  if (ikind != 0 && mq >= o.low_mq && (aff_ok || o.dual)) {
+    bool is_ins = ikind == 1;
+    bool ok = is_ins ? (ilen <= o.max_indel) : (ilen + 1 <= o.max_indel);
+    if (ok) {
+      bool fwd = (c < 4) || (c == 8);
+      uint64_t key = (1ull << 63) | ((uint64_t)rel << 37) |
+                     ((uint64_t)(fwd ? 1 : 0) << 36) |
+                     ((uint64_t)(is_ins ? 0 : 1) << 35) |
+                     ((uint64_t)(ilen & 63) << 29);
+      if (is_ins && ilen > 8) {
+        char hdr[8];
+        memcpy(hdr, &key, 8);
+        std::string k(hdr, 8);
+        k.append(seq, (size_t)ilen);
+        auto& cell = o.ih_long[k];
+        cell.second += 1;
+        if (aff_ok) cell.first += 1;
+      } else {
+        if (is_ins) {
+          uint64_t sp = 0;
+          for (int t = 0; t < ilen; t++)
+            sp |= (uint64_t)pack3(seq[t]) << (3 * t);
+          key |= sp;
+        }
+        o.ih.add(key, aff_ok);
+      }
+    }
+  }
+  if (aff_ok && mq >= o.cand_min_mq) {
+    o.cand_depth[rel] += 1;
+    if (c < 8) o.cand_base[rel * 4 + (c & 3)] += 1;
+    if (ikind == 1) o.cand_ins[rel] += 1;
+    else if (ikind == 2) o.cand_del[rel] += 1;
+  }
+}
+
+// Apply one distinct-seq cell to the I1/i1/D1/d1 max channels.
+inline void flush_indel_cell(ReduceOut& o, uint64_t key, int32_t ac,
+                             int32_t nc) {
+  int64_t rel = (int64_t)((key >> 37) & ((1ull << 26) - 1));
+  bool fwd = (key >> 36) & 1;
+  bool is_del = (key >> 35) & 1;
+  int ch = is_del ? (fwd ? 7 : 16) : (fwd ? 5 : 14);
+  int32_t* ra = o.aff + rel * o.nchan;
+  if (ac > ra[ch]) ra[ch] = ac;
+  if (o.dual) {
+    int32_t* rn = o.neg + rel * o.nchan;
+    if (nc > rn[ch]) rn[ch] = nc;
+  }
+}
+
+// The fused streaming decode+accumulate for one record.  A one-entry
+// "pending" buffer reproduces the anchor semantics of Decoder::add_read
+// (indel suffix attaches to the previous ref-consuming entry, last-wins)
+// before each entry is flushed into the dense accumulators.  Entries
+// outside [start,end) are skipped — matching the region filters of the
+// entry-table reductions.
+void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
+                   int64_t start, int64_t end, int hp) {
+  bool rev = v.flag & FLAG_REVERSE;
+  int64_t ref_pos = v.pos;
+  int qpos = 0;
+  struct Pend {
+    bool valid = false;
+    int64_t p = -2;
+    int c = 0, bq = 0, ikind = 0, ilen = 0;
+    char seq[64];
+  } pend;
+  auto flush = [&]() {
+    if (pend.valid) {
+      accum_entry(o, pend.p - start, pend.c, pend.bq, v.mapq, hp, pend.ikind,
+                  pend.ilen, pend.seq);
+      pend.valid = false;
+    }
+    pend.p = -2;
+  };
+  auto push = [&](int64_t p, int c, int bq) {
+    flush();
+    pend.p = p;
+    if (p >= start && p < end) {
+      pend.valid = true;
+      pend.c = c;
+      pend.bq = bq;
+      pend.ikind = 0;
+      pend.ilen = 0;
+    }
+  };
+  auto eff_q = [&](int i) -> int {
+    return adj_qual ? adj_qual[i] : rec_qual(v, i);
+  };
+  for (int i = 0; i < v.n_cigar; i++) {
+    int op = v.cigar[i] & 0xF;
+    int ln = v.cigar[i] >> 4;
+    if (op == 0 || op == 7 || op == 8) {  // M, =, X
+      for (int k = 0; k < ln; k++) {
+        char b = rec_base(v, qpos + k);
+        push(ref_pos + k, base_code(b, rev), eff_q(qpos + k));
+      }
+      ref_pos += ln;
+      qpos += ln;
+    } else if (op == 1) {  // I — suffix on the pending anchor (last-wins)
+      if (pend.p == ref_pos - 1) {
+        pend.ikind = 1;
+        pend.ilen = ln;
+        if (pend.valid && ln <= 60) {
+          for (int k = 0; k < ln; k++) {
+            char b = rec_base(v, qpos + k);
+            pend.seq[k] = (char)toupper(b);
+          }
+        }
+      }
+      qpos += ln;
+    } else if (op == 2) {  // D — suffix on anchor + placeholders
+      if (pend.p == ref_pos - 1) {
+        pend.ikind = 2;
+        pend.ilen = ln;
+      }
+      // placeholder bq = next aligned base's ORIGINAL quality (overlap
+      // adjustment never touches placeholders in the entry-table path)
+      int nxt = qpos < v.l_seq ? qpos : (v.l_seq ? v.l_seq - 1 : 0);
+      int del_bq = v.l_seq ? rec_qual(v, nxt) : 0;
+      int code = rev ? CODE_DEL_REV : CODE_DEL_FWD;
+      for (int k = 0; k < ln; k++) push(ref_pos + k, code, del_bq);
+      ref_pos += ln;
+    } else if (op == 3) {  // N
+      ref_pos += ln;
+      flush();
+    } else if (op == 4) {  // S
+      qpos += ln;
+    }
+  }
+  flush();
+}
+
+// Fused-reduce window state, retained for the masked entries pass.
+struct WindowHandle {
+  std::vector<std::shared_ptr<RawRecord>> records;
+  // overlap-adjusted qual copies (htslib tweak_overlap_quality), computed
+  // over the FULL mate overlap at reduce time and shared by the masked
+  // entries pass — records themselves stay immutable (thread-safety with
+  // the decode-ahead worker)
+  std::unordered_map<const RawRecord*, std::vector<uint8_t>> adj_quals;
+  int excl_flags = 0, min_mapq = 0, handle_overlaps = 0;
+  int64_t start = 0, end = 0;
+  int64_t n_reads = 0;
+};
+
+std::vector<uint8_t>& adj_for(WindowHandle* h, const RawRecord* r,
+                              const RecView& v) {
+  auto it = h->adj_quals.find(r);
+  if (it != h->adj_quals.end()) return it->second;
+  auto& vec = h->adj_quals[r];
+  vec.resize((size_t)v.l_seq);
+  if (v.qual) memcpy(vec.data(), v.qual, (size_t)v.l_seq);
+  else memset(vec.data(), 0, (size_t)v.l_seq);
+  return vec;
+}
+
+// htslib-style tweak_overlap_quality on one mate pair: for every reference
+// position where both mates have an aligned ACGT base, agreeing bases keep
+// mate1 at min(q1+q2, 200) and zero mate2; disagreeing keep the higher-qual
+// mate at 0.8q and zero the other.  Matches Decoder::overlap_adjust.
+void adjust_pair(WindowHandle* h, const RawRecord* r1, const RawRecord* r2) {
+  RecView v1, v2;
+  if (!parse_rec(*r1, h->excl_flags, h->min_mapq, &v1)) return;
+  if (!parse_rec(*r2, h->excl_flags, h->min_mapq, &v2)) return;
+  // mate1 aligned ACGT positions -> (base code 0-3, qpos)
+  std::unordered_map<int64_t, std::pair<int, int>> m1;
+  auto walk = [](const RecView& v, auto&& fn) {
+    int64_t ref_pos = v.pos;
+    int qpos = 0;
+    for (int i = 0; i < v.n_cigar; i++) {
+      int op = v.cigar[i] & 0xF;
+      int ln = v.cigar[i] >> 4;
+      if (op == 0 || op == 7 || op == 8) {
+        for (int k = 0; k < ln; k++) {
+          char b = rec_base(v, qpos + k);
+          int bc;
+          switch (b) {
+            case 'A': bc = 0; break;
+            case 'C': bc = 1; break;
+            case 'G': bc = 2; break;
+            case 'T': bc = 3; break;
+            default: bc = -1;
+          }
+          if (bc >= 0) fn(ref_pos + k, bc, qpos + k);
+        }
+        ref_pos += ln;
+        qpos += ln;
+      } else if (op == 1 || op == 4) {
+        qpos += ln;
+      } else if (op == 2 || op == 3) {
+        ref_pos += ln;
+      }
+    }
+  };
+  walk(v1, [&](int64_t p, int bc, int qp) { m1.emplace(p, std::make_pair(bc, qp)); });
+  bool any = false;
+  walk(v2, [&](int64_t p, int bc, int qp) {
+    auto it = m1.find(p);
+    if (it == m1.end()) return;
+    auto& a1 = adj_for(h, r1, v1);
+    auto& a2 = adj_for(h, r2, v2);
+    int q1 = a1[it->second.second], q2 = a2[qp];
+    if (it->second.first == bc) {
+      a1[it->second.second] = (uint8_t)std::min(q1 + q2, 200);
+      a2[qp] = 0;
+    } else if (q1 >= q2) {
+      a1[it->second.second] = (uint8_t)(int)(0.8 * q1);
+      a2[qp] = 0;
+    } else {
+      a2[qp] = (uint8_t)(int)(0.8 * q2);
+      a1[it->second.second] = 0;
+    }
+    any = true;
+  });
+  (void)any;
+}
+
+void stage_overlaps(WindowHandle* h) {
+  std::unordered_map<std::string, const RawRecord*> pending;
+  for (auto& sp : h->records) {
+    RecView v;
+    if (!parse_rec(*sp, h->excl_flags, h->min_mapq, &v)) continue;
+    if (!(v.flag & FLAG_PAIRED)) continue;
+    std::string name(v.name);
+    auto it = pending.find(name);
+    if (it == pending.end()) {
+      pending.emplace(std::move(name), sp.get());
+      continue;
+    }
+    adjust_pair(h, it->second, sp.get());
+    pending.erase(it);
+  }
+}
+
+// First/last ref-consuming positions of a read ('^'/'$' flag columns).
+inline void read_span_marks(const RecView& v, int64_t* first_pos,
+                            int64_t* last_pos) {
+  int64_t ref_pos = v.pos;
+  *first_pos = -1;
+  *last_pos = -1;
+  for (int i = 0; i < v.n_cigar; i++) {
+    int op = v.cigar[i] & 0xF;
+    int ln = v.cigar[i] >> 4;
+    if (op == 0 || op == 7 || op == 8 || op == 2) {
+      if (*first_pos < 0) *first_pos = ref_pos;
+      *last_pos = ref_pos + ln - 1;
+      ref_pos += ln;
+    } else if (op == 3) {
+      ref_pos += ln;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused decode+reduce for one window (see header comment above).
+// All output arrays are zeroed here; neg_* may be null when dual == 0.
+// nchan = 34 + 16*with_phasing.  Returns a WindowHandle* retaining the
+// window's records for pileup_window_entries_*, or nullptr for an unknown
+// contig / oversized window (L must fit the 26-bit event key).
+void* pileup_window_reduce(
+    void* sh, const char* ctg, int64_t start, int64_t end, int excl_flags,
+    int min_mapq, int handle_overlaps, int aff_min_bq, int low_mq_thresh,
+    int low_bq_thresh, int max_indel_len, int with_phasing, int cand_min_mq,
+    int dual, int32_t* aff_counts, int32_t* aff_depth, int32_t* neg_counts,
+    int32_t* neg_depth, int32_t* cand_base, int32_t* cand_depth,
+    int32_t* cand_ins, int32_t* cand_del, int64_t* out_n_reads) {
+  auto* s = (BamStream*)sh;
+  int rid = stream_rid(s, ctg);
+  int64_t L = end - start;
+  if (rid < 0 || L <= 0 || L >= (1ll << 26)) return nullptr;
+
+  auto* h = new WindowHandle();
+  h->excl_flags = excl_flags;
+  h->min_mapq = min_mapq;
+  h->handle_overlaps = handle_overlaps;
+  h->start = start;
+  h->end = end;
+  select_window_records(s, rid, start, end, &h->records);
+  if (handle_overlaps) stage_overlaps(h);
+
+  ReduceOut o;
+  o.aff = aff_counts;
+  o.aff_depth = aff_depth;
+  o.neg = neg_counts;
+  o.neg_depth = neg_depth;
+  o.cand_base = cand_base;
+  o.cand_depth = cand_depth;
+  o.cand_ins = cand_ins;
+  o.cand_del = cand_del;
+  o.L = L;
+  o.nchan = 34 + (with_phasing ? 16 : 0);
+  o.aff_bq = aff_min_bq;
+  o.low_mq = low_mq_thresh;
+  o.low_bq = low_bq_thresh;
+  o.max_indel = max_indel_len;
+  o.with_phasing = with_phasing;
+  o.dual = dual;
+  o.cand_min_mq = cand_min_mq;
+  o.ih.init(4096);
+
+  memset(aff_counts, 0, (size_t)L * o.nchan * sizeof(int32_t));
+  memset(aff_depth, 0, (size_t)L * sizeof(int32_t));
+  if (dual) {
+    memset(neg_counts, 0, (size_t)L * o.nchan * sizeof(int32_t));
+    memset(neg_depth, 0, (size_t)L * sizeof(int32_t));
+  }
+  memset(cand_base, 0, (size_t)L * 4 * sizeof(int32_t));
+  memset(cand_depth, 0, (size_t)L * sizeof(int32_t));
+  memset(cand_ins, 0, (size_t)L * sizeof(int32_t));
+  memset(cand_del, 0, (size_t)L * sizeof(int32_t));
+
+  int64_t n_reads = 0;
+  for (auto& sp : h->records) {
+    RecView v;
+    if (!parse_rec(*sp, excl_flags, min_mapq, &v)) continue;
+    int hp = find_hp_tag(v.tags, v.tags_len);
+    const uint8_t* adj = nullptr;
+    auto it = h->adj_quals.find(sp.get());
+    if (it != h->adj_quals.end()) adj = it->second.data();
+    reduce_record(o, v, adj, start, end, hp);
+    n_reads++;
+  }
+  // distinct-seq max channels (I1/i1/D1/d1)
+  for (size_t i = 0; i <= o.ih.msk; i++)
+    if (o.ih.keys[i]) flush_indel_cell(o, o.ih.keys[i], o.ih.affc[i], o.ih.negc[i]);
+  for (auto& kv : o.ih_long) {
+    uint64_t key;
+    memcpy(&key, kv.first.data(), 8);
+    flush_indel_cell(o, key, kv.second.first, kv.second.second);
+  }
+  h->n_reads = n_reads;
+  *out_n_reads = n_reads;
+  return h;
+}
+
+// Masked entries pass A: exact output sizes for pileup_window_entries_fill.
+// mask: uint8 over [mask_start, mask_start+mask_len); a position outside
+// the mask produces no entry.  Anchored insertion blob bytes count only
+// when the anchor position is masked (the suffix lives on the anchor).
+void pileup_window_entries_count(void* wh, const uint8_t* mask,
+                                 int64_t mask_start, int64_t mask_len,
+                                 int64_t* n_entries, int64_t* blob_len) {
+  auto* h = (WindowHandle*)wh;
+  *n_entries = 0;
+  *blob_len = 0;
+  auto masked = [&](int64_t p) {
+    int64_t r = p - mask_start;
+    return r >= 0 && r < mask_len && mask[r];
+  };
+  for (auto& sp : h->records) {
+    RecView v;
+    if (!parse_rec(*sp, h->excl_flags, h->min_mapq, &v)) continue;
+    int64_t ref_pos = v.pos;
+    int64_t last_pos = -2;
+    for (int i = 0; i < v.n_cigar; i++) {
+      int op = v.cigar[i] & 0xF;
+      int64_t ln = v.cigar[i] >> 4;
+      if (op == 0 || op == 7 || op == 8 || op == 2) {  // M,=,X,D
+        for (int64_t k = 0; k < ln; k++)
+          if (masked(ref_pos + k)) (*n_entries)++;
+        last_pos = ref_pos + ln - 1;
+        ref_pos += ln;
+      } else if (op == 1) {  // I
+        if (last_pos == ref_pos - 1 && masked(ref_pos - 1)) *blob_len += ln;
+      } else if (op == 3) {  // N
+        ref_pos += ln;
+        last_pos = -2;
+      }
+    }
+  }
+}
+
+// Masked entries pass B: decode the window's records into entry arrays,
+// emitting only masked columns.  read_id = the read's ordinal among the
+// window's filter-passing records — STABLE across repeated calls, so
+// entry tables fetched for different site sets share read identity (and
+// match the read numbering of pileup_window_reduce).  eflags mark the
+// read's true first/last ref-consuming positions when they fall inside
+// the mask.  Returns n_reads.
+int64_t pileup_window_entries_fill(
+    void* wh, const uint8_t* mask, int64_t mask_start, int64_t mask_len,
+    int64_t* pos, int8_t* code, int16_t* bq, int16_t* mq, int8_t* hp,
+    int8_t* ikind, int32_t* ilen, int64_t* iseq_off, char* blob,
+    int32_t* read_id, int8_t* eflags, int64_t* n_used, int64_t* blob_used) {
+  auto* h = (WindowHandle*)wh;
+  auto masked = [&](int64_t p) {
+    int64_t r = p - mask_start;
+    return r >= 0 && r < mask_len && mask[r];
+  };
+  int64_t n = 0, bl = 0;
+  int32_t rid = 0;
+  for (auto& sp : h->records) {
+    RecView v;
+    if (!parse_rec(*sp, h->excl_flags, h->min_mapq, &v)) continue;
+    const uint8_t* adj = nullptr;
+    auto it = h->adj_quals.find(sp.get());
+    if (it != h->adj_quals.end()) adj = it->second.data();
+    int hpv = find_hp_tag(v.tags, v.tags_len);
+    bool rev = v.flag & FLAG_REVERSE;
+    int64_t first_pos, last_mark;
+    read_span_marks(v, &first_pos, &last_mark);
+    int64_t ref_pos = v.pos;
+    int qpos = 0;
+    int64_t last_push_pos = -2;   // pos of the last pushed (masked) entry
+    int64_t last_entry_idx = -1;  // its index, -1 when unmasked/reset
+    auto eff_q = [&](int i) -> int {
+      return adj ? adj[i] : rec_qual(v, i);
+    };
+    auto push = [&](int64_t p, int c, int q) {
+      last_push_pos = p;
+      if (!masked(p)) {
+        last_entry_idx = -1;
+        return;
+      }
+      pos[n] = p;
+      code[n] = (int8_t)c;
+      bq[n] = (int16_t)q;
+      mq[n] = (int16_t)v.mapq;
+      hp[n] = (int8_t)hpv;
+      ikind[n] = 0;
+      ilen[n] = 0;
+      iseq_off[n] = -1;
+      read_id[n] = rid;
+      int8_t ef = 0;
+      if (p == first_pos) ef |= 1;
+      if (p == last_mark) ef |= 2;
+      eflags[n] = ef;
+      last_entry_idx = n;
+      n++;
+    };
+    for (int i = 0; i < v.n_cigar; i++) {
+      int op = v.cigar[i] & 0xF;
+      int ln = v.cigar[i] >> 4;
+      if (op == 0 || op == 7 || op == 8) {
+        for (int k = 0; k < ln; k++) {
+          char b = rec_base(v, qpos + k);
+          push(ref_pos + k, base_code(b, rev), eff_q(qpos + k));
+        }
+        ref_pos += ln;
+        qpos += ln;
+      } else if (op == 1) {
+        if (last_push_pos == ref_pos - 1 && last_entry_idx >= 0) {
+          ikind[last_entry_idx] = INDEL_INS;
+          ilen[last_entry_idx] = ln;
+          iseq_off[last_entry_idx] = bl;
+          for (int k = 0; k < ln; k++) {
+            char b = rec_base(v, qpos + k);
+            blob[bl++] = rev ? (char)tolower(b) : b;
+          }
+        }
+        qpos += ln;
+      } else if (op == 2) {
+        if (last_push_pos == ref_pos - 1 && last_entry_idx >= 0) {
+          ikind[last_entry_idx] = INDEL_DEL;
+          ilen[last_entry_idx] = ln;
+        }
+        int nxt = qpos < v.l_seq ? qpos : (v.l_seq ? v.l_seq - 1 : 0);
+        int del_bq = v.l_seq ? rec_qual(v, nxt) : 0;
+        int cd = rev ? CODE_DEL_REV : CODE_DEL_FWD;
+        for (int k = 0; k < ln; k++) push(ref_pos + k, cd, del_bq);
+        ref_pos += ln;
+      } else if (op == 3) {
+        ref_pos += ln;
+        last_push_pos = -2;
+        last_entry_idx = -1;
+      } else if (op == 4) {
+        qpos += ln;
+      }
+    }
+    rid++;
+  }
+  *n_used = n;
+  *blob_used = bl;
+  return rid;
+}
+
+int64_t pileup_window_reduce_n_reads(void* wh) {
+  return ((WindowHandle*)wh)->n_reads;
+}
+
+void pileup_window_release(void* wh) { delete (WindowHandle*)wh; }
 
 }  // extern "C"

@@ -113,6 +113,128 @@ class PileupEngine:
         self._arrays = None
         self._iseq_off = None    # int64 offsets into _iseq_blob (native path)
         self._iseq_blob = None   # uint8 array of insertion sequences
+        # lazy fused-window mode (native.NativeWindow): entries fetched on
+        # demand per site window instead of materializing the full table
+        self._win = None
+        self._cov_start = 0
+        self._covered = None
+        self._win_tables = []
+        self._hp_per_read = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_native_window(cls, win, ref_seq, ref_start, platform="ont",
+                           max_indel_length=cfg.MAX_INDEL_LENGTH):
+        """Wrap a fused-reduce window (bamio.native.NativeWindow).
+
+        The dense tensor/candidate views were already accumulated during
+        the decode; entry-table arrays are fetched lazily per site window
+        (``ensure_sites``) from the retained records, so the table only
+        ever holds the ±window columns the consumers actually read —
+        typically 100-1000x fewer entries than the full-chunk table that
+        was the round-3 end-to-end wall."""
+        eng = cls(ref_seq, ref_start, platform=platform,
+                  max_indel_length=max_indel_length)
+        eng._win = win
+        margin = 4096  # filter windows may poke past the chunk region edge
+        eng._cov_start = win.start - margin
+        eng._covered = np.zeros(win.end + margin - eng._cov_start, np.uint8)
+        eng._win_tables = []
+        eng._set_empty_arrays()
+        return eng
+
+    def _set_empty_arrays(self):
+        self._arrays = dict(
+            pos=np.zeros(0, np.int64), code=np.zeros(0, np.int8),
+            bq=np.zeros(0, np.int16), mq=np.zeros(0, np.int16),
+            hp=np.zeros(0, np.int8), ikind=np.zeros(0, np.int8),
+            ilen=np.zeros(0, np.int32), read_id=np.zeros(0, np.int32),
+            eflags=np.zeros(0, np.int8),
+        )
+        self._iseq = []
+        self._iseq_off = np.zeros(0, np.int64)
+        self._iseq_blob = np.zeros(0, np.uint8)
+
+    @property
+    def n_reads(self):
+        if self._win is not None:
+            return self._win.n_reads
+        a = self._finalize()
+        return int(a["read_id"].max()) + 1 if len(a["read_id"]) else 0
+
+    def ensure_sites(self, positions, radius=0):
+        """Lazy mode: make sure entries at ``positions ± radius`` are in
+        the table; no-op otherwise.  Each column is fetched exactly once
+        (whole columns, read order preserved), so tables fetched across
+        calls concatenate without breaking per-column entry order or read
+        identity."""
+        if self._win is None or len(positions) == 0:
+            return
+        pos = np.asarray(sorted(set(int(p) for p in positions)), np.int64)
+        want = np.zeros_like(self._covered)
+        lo = np.clip(pos - radius - self._cov_start, 0, len(want))
+        hi = np.clip(pos + radius + 1 - self._cov_start, 0, len(want))
+        for a, b in zip(lo, hi):
+            if b > a:
+                want[a:b] = 1
+        new = want & ~self._covered
+        if not new.any():
+            return
+        table = self._win.entries_for_mask(new, self._cov_start)
+        self._covered |= want
+        if len(table["pos"]):
+            self._win_tables.append(table)
+            self._arrays = None  # re-merge on next _finalize
+
+    def ensure_all(self):
+        """Lazy mode: fetch every remaining column (full-table parity)."""
+        if self._win is None:
+            return
+        new = (1 - self._covered).astype(np.uint8)
+        if not new.any():
+            return
+        table = self._win.entries_for_mask(new, self._cov_start)
+        self._covered[:] = 1
+        if len(table["pos"]):
+            self._win_tables.append(table)
+            self._arrays = None
+
+    def _merge_win_tables(self):
+        """Concatenate fetched site tables into the canonical array set."""
+        ts = self._win_tables
+        if len(ts) == 0:
+            self._set_empty_arrays()
+        elif len(ts) == 1:
+            t = ts[0]
+            self._arrays = {k: t[k] for k in (
+                "pos", "code", "bq", "mq", "hp", "ikind", "ilen",
+                "read_id", "eflags")}
+            self._iseq_off = t["iseq_off"]
+            self._iseq_blob = t["iseq_blob"]
+        else:
+            self._arrays = {
+                k: np.concatenate([t[k] for t in ts])
+                for k in ("pos", "code", "bq", "mq", "hp", "ikind", "ilen",
+                          "read_id", "eflags")
+            }
+            offs = []
+            shift = 0
+            for t in ts:
+                o = t["iseq_off"].copy()
+                o[o >= 0] += shift
+                offs.append(o)
+                shift += len(t["iseq_blob"])
+            self._iseq_off = np.concatenate(offs)
+            self._iseq_blob = (
+                np.concatenate([t["iseq_blob"] for t in ts])
+                if shift else np.zeros(0, np.uint8)
+            )
+        from clairs_to_tpu.bamio.native import LazyIseq
+
+        self._iseq = LazyIseq(self._iseq_blob, self._iseq_off,
+                              self._arrays["ilen"], self._arrays["ikind"])
+        if self._hp_per_read is not None and len(self._arrays["pos"]):
+            self._arrays["hp"] = self._hp_per_read[self._arrays["read_id"]]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -250,6 +372,10 @@ class PileupEngine:
 
     # ------------------------------------------------------------------
     def _finalize(self):
+        if self._win is not None:
+            if self._arrays is None:
+                self._merge_win_tables()
+            return self._arrays
         if self._arrays is None:
             self._arrays = dict(
                 pos=np.asarray(self._pos, dtype=np.int64),
@@ -308,6 +434,17 @@ class PileupEngine:
         the single-pass C++ reduction when available; the numpy path below is
         the behavioral reference.
         """
+        if self._win is not None:
+            w = self._win
+            if (with_phasing == w.with_phasing and region_start == w.start
+                    and region_end == w.end
+                    and min_bq in (w.aff_min_bq, 0)):
+                # dense views were accumulated during the fused decode
+                if min_bq == w.aff_min_bq:
+                    return w.aff_counts, w.aff_depth
+                return w.neg_counts, w.neg_depth
+            # off-contract request (tools/tests): full-table fallback
+            self.ensure_all()
         a = self._finalize()
         lib = self._native_lib()
         if lib is not None and len(a["pos"]):
@@ -475,6 +612,7 @@ class PileupEngine:
         aggregation run in one native pass (entry_alt_aggregate); the
         Python loop below is the behavioral reference and the fallback.
         """
+        self.ensure_sites(want, 0)
         a = self._finalize()
         from clairs_to_tpu.bamio import native
 
@@ -511,6 +649,7 @@ class PileupEngine:
         order = first-encounter order of entries (mpileup column order).
         """
         want = sorted(set(int(p) for p in positions))
+        self.ensure_sites(want, 0)
         groups = self._alt_groups(want, min_bq, cfg.LOW_MQ_THRESHOLD)
         out = {}
         for p in want:
@@ -600,8 +739,20 @@ class PileupEngine:
         """
         if min_bq is None:
             min_bq = cfg.MIN_BQ_DICT.get(self.platform, 0)
+        # fused-window fast path: the candidate-view stats (depth, per-base,
+        # ins/del totals at bq>=min_bq, mq>=20) were accumulated during the
+        # decode — the prefilter needs no entry table at all
+        use_win = (
+            self._win is not None
+            and min_bq == self._win.aff_min_bq
+            and cfg.MIN_MQ == self._win.cand_min_mq
+            and region_start >= self._win.start
+            and region_end <= self._win.end
+        )
+        if self._win is not None and not use_win:
+            self.ensure_all()
         a = self._finalize()
-        if len(a["pos"]) == 0:
+        if not use_win and len(a["pos"]) == 0:
             return [], [], {}
 
         # ---- vectorized superset prefilter -------------------------------
@@ -625,7 +776,24 @@ class PileupEngine:
 
         support = alternative_base_num
         lib = self._native_lib()
-        if lib is not None and len(a["pos"]):
+        if use_win:
+            w = self._win
+            o0 = region_start - w.start
+            base_counts = w.cand_base[o0 : o0 + L]
+            depth_arr = w.cand_depth[o0 : o0 + L]
+            ins_tot = w.cand_ins[o0 : o0 + L]
+            del_tot = w.cand_del[o0 : o0 + L]
+            denom = np.maximum(depth_arr, 1)
+            alt_mask = np.zeros(L, dtype=bool)
+            for c in range(4):
+                cnt = base_counts[:, c]
+                ok = (ref_codes != c) & (cnt >= support) & (cnt / denom >= snv_min_af)
+                alt_mask |= ok
+            if select_indel_candidates:
+                for tot in (ins_tot, del_tot):
+                    alt_mask |= (tot >= support) & (tot / denom >= indel_min_af)
+            cand_mask = alt_mask & (depth_arr > min_coverage) & (ref_codes >= 0)
+        elif lib is not None and len(a["pos"]):
             import ctypes
 
             mask8 = np.zeros(L, dtype=np.uint8)

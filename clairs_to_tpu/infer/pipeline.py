@@ -127,16 +127,38 @@ class CallingPipeline:
             if native.available():
                 if self._stream is None:
                     self._stream = native.BamStreamReader(self.bam_path)
-                table = self._stream.load_window(
+                # fused decode+reduce (round 4): dense dual-BQ channel
+                # counts + candidate stats in ONE pass, entry columns
+                # fetched lazily per site window — the full entry table
+                # (7.7GB first-touch per 4Mb@60x chunk) is never built
+                win = self._stream.load_window_reduced(
                     ctg, region_start, region_end,
                     excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
                     handle_overlaps=self.opt.handle_overlaps,
-                )
-                pe = PileupEngine.from_entry_table(
-                    table, ref_seq, ref_start,
-                    platform=self.opt.platform,
+                    aff_min_bq=self.aff_min_bq,
+                    low_mq_thresh=cfg.LOW_MQ_THRESHOLD,
+                    low_bq_thresh=cfg.LOW_BQ_THRESHOLD.get(self.platform, 10),
                     max_indel_length=self.opt.max_indel_length,
+                    with_phasing=self.opt.phase_tensor,
+                    cand_min_mq=cfg.MIN_MQ,
                 )
+                if win is not None:
+                    pe = PileupEngine.from_native_window(
+                        win, ref_seq, ref_start,
+                        platform=self.opt.platform,
+                        max_indel_length=self.opt.max_indel_length,
+                    )
+                else:
+                    table = self._stream.load_window(
+                        ctg, region_start, region_end,
+                        excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+                        handle_overlaps=self.opt.handle_overlaps,
+                    )
+                    pe = PileupEngine.from_entry_table(
+                        table, ref_seq, ref_start,
+                        platform=self.opt.platform,
+                        max_indel_length=self.opt.max_indel_length,
+                    )
         if pe is None:
             if self._bam is None:
                 self._bam = BamFile(self.bam_path)
@@ -239,6 +261,11 @@ class CallingPipeline:
     def evict_views(self, chunk):
         views = self._views_memo.pop(chunk, None)
         if views is not None and self._stream is not None:
+            win = getattr(views[0], "_win", None)
+            if win is not None:
+                # release the C++ record retention and pool the dense arena
+                win.close()
+                return
             table = getattr(views[0], "_table", None)
             if table is not None:
                 # all views into the entry table are dropped with the memo;

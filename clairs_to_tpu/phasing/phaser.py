@@ -57,8 +57,10 @@ def _site_read_alleles(pileup_engine, het_sites, min_bq=0, min_mq=20):
     argsort dominated this stage in round 2."""
     from clairs_to_tpu.bamio import native
 
-    a = pileup_engine._finalize()
     want = np.unique(np.asarray([p for (p, _r, _a) in het_sites], np.int64))
+    if hasattr(pileup_engine, "ensure_sites"):
+        pileup_engine.ensure_sites(want, 0)
+    a = pileup_engine._finalize()
     groups = native.group_entries_at(a["pos"], want)
     out = []
     for (p, ref, alt) in het_sites:
@@ -129,6 +131,10 @@ def apply_haplotags(pileup_engine, hp_per_read):
     # add a full extra copy of a 10^8-entry column)
     a["hp"] = hp_per_read[a["read_id"]]
     pileup_engine._hp = a["hp"]
+    # lazy fused-window engines may fetch more entry columns later —
+    # remember the per-read tags so re-merges re-apply them
+    if getattr(pileup_engine, "_win", None) is not None:
+        pileup_engine._hp_per_read = hp_per_read
     return pileup_engine
 
 
@@ -136,8 +142,11 @@ def phase_and_tag(pileup_engine, het_sites, min_bq=0, min_mq=20):
     """Convenience: phase + haplotag + apply to the entry table.
 
     Returns the per-read HP array."""
-    a = pileup_engine._finalize()
-    n_reads = int(a["read_id"].max()) + 1 if len(a["read_id"]) else 0
+    if getattr(pileup_engine, "_win", None) is not None:
+        n_reads = pileup_engine.n_reads  # stable window read count
+    else:
+        a = pileup_engine._finalize()
+        n_reads = int(a["read_id"].max()) + 1 if len(a["read_id"]) else 0
     if not het_sites or n_reads == 0:
         return np.zeros(n_reads, dtype=np.int8)
     orientations, site_alleles = phase_het_snps(

@@ -164,6 +164,13 @@ class FilterIndex:
         would silently see no coverage; callers pass their full site set).
         """
         pe = pileup_engine
+        if getattr(pe, "_win", None) is not None:
+            # lazy fused-window engine: materialize exactly the verdict
+            # windows (or everything, for callers without a site list)
+            if site_positions is not None:
+                pe.ensure_sites(site_positions, FLANKING)
+            else:
+                pe.ensure_all()
         a = pe._finalize()
         self.pe = pe
         self.a = a

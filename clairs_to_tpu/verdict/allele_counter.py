@@ -17,8 +17,10 @@ def allele_counts_at(pileup_engine, positions, min_bq=20, min_mq=20):
     Returns (n, 4) int64 array ordered A,C,G,T (strand-summed), matching the
     alleleCounter output columns (Count_A..Count_T).
     """
-    a = pileup_engine._finalize()
     positions = np.asarray(positions, dtype=np.int64)
+    if hasattr(pileup_engine, "ensure_sites"):
+        pileup_engine.ensure_sites(positions, 0)
+    a = pileup_engine._finalize()
     sel = (
         (a["mq"] >= min_mq)
         & (a["bq"] >= min_bq)
