@@ -196,11 +196,58 @@ def measure_reference(n_candidates):
     return n / dt
 
 
+def host_state():
+    """Host-state preamble: perf here depends on transient host state
+    (hugepage availability, free memory, page-fault throughput on this
+    host-ballooned VM), so every figure ships with the state it was
+    measured under (round-3 verdict item 2)."""
+    state = {}
+    try:
+        with open("/proc/meminfo") as f:
+            mi = dict(
+                (l.split(":")[0], l.split()[1]) for l in f if ":" in l)
+        state["free_mem_gb"] = round(int(mi.get("MemAvailable", 0)) / 1e6, 1)
+        state["anon_huge_gb"] = round(int(mi.get("AnonHugePages", 0)) / 1e6, 2)
+    except Exception:
+        pass
+    # first-touch page-fault probe: MB/s writing 256MB of fresh anon pages
+    try:
+        import mmap
+
+        sz = 256 << 20
+        mm = mmap.mmap(-1, sz)
+        t0 = time.perf_counter()
+        step = 4096
+        b = b"x"
+        for off in range(0, sz, step):
+            mm[off:off + 1] = b
+        state["first_touch_mb_s"] = round((sz / (1 << 20)) /
+                                          (time.perf_counter() - t0), 0)
+        mm.close()
+    except Exception:
+        pass
+    return state
+
+
 def main():
     build_workload()
+    host = host_state()
     cands, call_cold, total_cold, _, _ = run_cli("cold")
+    # TWO consecutive warm e2e runs: the steady figure is the MEDIAN-free
+    # min/max pair so a transient host stall cannot masquerade as the
+    # result, and the two runs must agree (round-3 verdict item 2)
     cands2, call_warm, total_warm, stages, chunk_rates = run_cli("warm")
-    steady = cands2 / call_warm if call_warm > 0 else 0.0
+    cands3, call_warm2, total_warm2, stages2, chunk_rates2 = run_cli("warm2")
+    calls = sorted([call_warm, call_warm2])
+    steady_runs = [cands2 / call_warm if call_warm > 0 else 0.0,
+                   cands3 / call_warm2 if call_warm2 > 0 else 0.0]
+    # conservative headline: the SLOWER of the two warm runs (stages and
+    # timings reported from that same run)
+    steady = min(steady_runs)
+    if steady_runs[1] < steady_runs[0]:
+        stages, chunk_rates = stages2, chunk_rates2
+        call_warm, total_warm = call_warm2, total_warm2
+        cands2 = cands3
     last_c, last_s = chunk_rates[-1] if chunk_rates else (0, 1.0)
     steady_chunk = last_c / last_s if last_s > 0 else 0.0
     sweep = measure_parity_path()
@@ -222,6 +269,11 @@ def main():
         "warm_total_s": round(total_warm, 1),
         "warm_startup_s": round(total_warm - call_warm, 1),
         "steady_calling_s": round(call_warm, 2),
+        "warm_runs_cand_per_sec": [round(x, 1) for x in steady_runs],
+        "warm_spread_pct": round(
+            100.0 * abs(steady_runs[0] - steady_runs[1])
+            / max(max(steady_runs), 1e-9), 1),
+        "host_state": host,
         "steady_stages": {k: round(v, 2) for k, v in stages.items()},
         "steady_chunk_candidates_per_sec": round(steady_chunk, 1),
         "chunk_rates": [[c, s] for (c, s) in chunk_rates],

@@ -18,6 +18,10 @@ _SRC = os.path.join(_DIR, "pileup_native.cpp")
 _lib = None
 _load_error = None
 
+# extended span margin for the filter-view dense stats: verdict windows
+# reach at most FLANKING (100) bp past the chunk region edge
+FILT_MARGIN = 128
+
 
 def _build():
     cmd = [
@@ -126,9 +130,23 @@ def get_lib():
         lib.pileup_window_reduce.restype = ctypes.c_void_p
         lib.pileup_window_reduce.argtypes = (
             [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
-            + [ctypes.c_int] * 9
-            + [ctypes.c_void_p] * 8 + [ctypes.c_void_p]
+            + [ctypes.c_int] * 10
+            + [ctypes.c_void_p] * 8
+            + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p] * 4
         )
+        lib.pileup_window_filter_assemble.restype = None
+        lib.pileup_window_filter_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.pileup_window_filter_export_assembled.restype = None
+        lib.pileup_window_filter_export_assembled.argtypes = \
+            [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+        lib.pileup_window_filter_sizes.restype = None
+        lib.pileup_window_filter_sizes.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 3
+        lib.pileup_window_filter_export.restype = None
+        lib.pileup_window_filter_export.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 10
         lib.pileup_window_entries_count.restype = None
         lib.pileup_window_entries_count.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -356,7 +374,7 @@ class BamStreamReader:
                             min_mapq=0, handle_overlaps=True, aff_min_bq=0,
                             low_mq_thresh=20, low_bq_thresh=10,
                             max_indel_length=60, with_phasing=False,
-                            cand_min_mq=20):
+                            cand_min_mq=20, filter_view=None):
         """Fused decode+reduce for a window -> NativeWindow (or None).
 
         Requires non-decreasing window order like load_window; regressing
@@ -374,7 +392,10 @@ class BamStreamReader:
         L = int(end) - int(start)
         nchan = 34 + (16 if with_phasing else 0)
         dual = 1 if aff_min_bq > 0 else 0
-        need = L * (2 * nchan + 9)  # dual worst-case so pooling is uniform
+        FL = L + 2 * FILT_MARGIN
+        # dual worst-case + the 3 filter-view dense arrays so pooling is
+        # uniform regardless of per-window options
+        need = L * (2 * nchan + 9) + 3 * FL
         arena = None
         for k, cand in enumerate(self._flat_pool):
             if len(cand) >= need:
@@ -400,6 +421,15 @@ class BamStreamReader:
             cand_ins=take(L),
             cand_del=take(L),
         )
+        ref_tok = None
+        filt_min_bq = filt_min_mq = 0
+        if filter_view is not None:
+            ref_tok, filt_min_bq, filt_min_mq = filter_view
+            ref_tok = np.ascontiguousarray(ref_tok, np.int16)
+            assert len(ref_tok) == FL, (len(ref_tok), FL)
+            views["filt_depth"] = take(FL)
+            views["filt_nonref"] = take(FL)
+            views["filt_colins"] = take(FL)
         p = lambda a: (a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
                        if a is not None else ctypes.c_void_p(0))
         n_reads = ctypes.c_int64(0)
@@ -413,6 +443,10 @@ class BamStreamReader:
             p(views["neg"]), p(views["neg_depth"]),
             p(views["cand_base"]), p(views["cand_depth"]),
             p(views["cand_ins"]), p(views["cand_del"]),
+            FILT_MARGIN, p(ref_tok),
+            int(filt_min_bq), int(filt_min_mq),
+            p(views.get("filt_depth")), p(views.get("filt_nonref")),
+            p(views.get("filt_colins")),
             ctypes.byref(n_reads),
         )
         self._last = key
@@ -421,7 +455,8 @@ class BamStreamReader:
             return None
         return NativeWindow(self, h, start, end, nchan, bool(dual), arena,
                             views, n_reads.value, aff_min_bq=aff_min_bq,
-                            cand_min_mq=cand_min_mq)
+                            cand_min_mq=cand_min_mq, ref_tok=ref_tok,
+                            filt_min_bq=filt_min_bq, filt_min_mq=filt_min_mq)
 
     def close(self):
         if self._h:
@@ -526,7 +561,8 @@ class NativeWindow:
     """
 
     def __init__(self, stream, handle, start, end, nchan, dual, arena,
-                 views, n_reads, aff_min_bq=0, cand_min_mq=20):
+                 views, n_reads, aff_min_bq=0, cand_min_mq=20, ref_tok=None,
+                 filt_min_bq=0, filt_min_mq=20):
         self._stream = stream
         self._h = handle
         self.start = int(start)
@@ -546,6 +582,16 @@ class NativeWindow:
         self.cand_ins = views["cand_ins"]
         self.cand_del = views["cand_del"]
         self.n_reads = int(n_reads)
+        # filter-view accumulation (None when not requested); _ref_tok is
+        # retained because the C++ handle keeps a pointer into it
+        self._ref_tok = ref_tok
+        self.filt_min_bq = filt_min_bq
+        self.filt_min_mq = filt_min_mq
+        self.filt_depth = views.get("filt_depth")
+        self.filt_nonref = views.get("filt_nonref")
+        self.filt_colins = views.get("filt_colins")
+        self.filt_start = self.start - FILT_MARGIN
+        self.filt_end = self.end + FILT_MARGIN
 
     def entries_for_mask(self, mask, mask_start):
         """Entry-table dict for the masked columns (uint8 mask array).
@@ -589,6 +635,106 @@ class NativeWindow:
             read_id=read_id, eflags=eflags,
             iseq_off=iseq_off, iseq_blob=blob,
         )
+
+    @property
+    def has_filter_data(self):
+        return self.filt_depth is not None and self._h is not None
+
+    def filter_assembly(self):
+        """Site-independent filter-index state, computed once per window.
+
+        C++ column-sorts the non-ref stream and builds the (column, token)
+        distinct-count table; the remaining numpy work (dense casts,
+        cumulative sums, RSE mark selection) is also site-independent, so
+        the whole assembly can run on the decode-ahead worker — the
+        verdict stage then only builds the per-site column rows."""
+        if getattr(self, "_fassembly", None) is not None:
+            return self._fassembly
+        lib = get_lib()
+        span = self.filt_end - self.filt_start
+        nkeys = ctypes.c_int64(0)
+        lib.pileup_window_filter_assemble(self._h, int(span),
+                                          ctypes.byref(nkeys))
+        n_nr = ctypes.c_int64(0)
+        n_st = ctypes.c_int64(0)
+        n_en = ctypes.c_int64(0)
+        lib.pileup_window_filter_sizes(
+            self._h, ctypes.byref(n_nr), ctypes.byref(n_st),
+            ctypes.byref(n_en))
+        nn, nk = n_nr.value, nkeys.value
+        nr_rel = np.empty(nn, np.int32)
+        nr_read = np.empty(nn, np.int32)
+        nr_token = np.empty(nn, np.int64)
+        nr_ik = np.empty(nn, np.int8)
+        nr_base = np.empty(nn, np.int8)
+        ck_key = np.empty(nk, np.int64)
+        ck_cnt = np.empty(nk, np.int64)
+        T = ctypes.c_int64(0)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_window_filter_export_assembled(
+            self._h, p(nr_rel), p(nr_read), p(nr_token), p(nr_ik),
+            p(nr_base), p(ck_key), p(ck_cnt), ctypes.byref(T))
+        # remaining site-independent numpy assembly
+        from clairs_to_tpu.postcall.hardfilter import EPS_RSE
+
+        fd = self.filter_data()
+        depth = self.filt_depth.astype(np.int64)
+        nonref = self.filt_nonref.astype(np.int64)
+        col_ins = self.filt_colins.astype(np.float64)
+        m = span
+        nstarts = np.bincount(fd["st_rel"], minlength=m).astype(np.int64)
+        nends = np.bincount(fd["en_rel"], minlength=m).astype(np.int64)
+        side_start = nstarts > nends
+        marked_len = np.where(side_start, nstarts, nends)
+        colcond = (marked_len >= depth * EPS_RSE) & (depth > 0)
+        st_rel = fd["st_rel"].astype(np.int64)
+        en_rel = fd["en_rel"].astype(np.int64)
+        st_keep = colcond[st_rel] & side_start[st_rel]
+        en_keep = colcond[en_rel] & ~side_start[en_rel]
+        rse_rel = np.concatenate([st_rel[st_keep], en_rel[en_keep]])
+        rse_read = np.concatenate(
+            [fd["st_read"][st_keep], fd["en_read"][en_keep]])
+        ro = np.argsort(rse_rel, kind="stable")
+        self._fassembly = dict(
+            nr_rel=nr_rel, nr_read=nr_read.astype(np.int64),
+            nr_token=nr_token, nr_ik=nr_ik, nr_base=nr_base,
+            ck_key=ck_key, ck_cnt=ck_cnt, T=int(T.value),
+            depth=depth, nonref=nonref, col_ins=col_ins,
+            col_only_ref=(depth > 0) & (nonref == 0),
+            cum_ins=np.concatenate([[0.0], np.cumsum(col_ins)]),
+            rse_rel=rse_rel[ro], rse_read=rse_read[ro].astype(np.int64),
+        )
+        return self._fassembly
+
+    def filter_data(self):
+        """Export the filter-view streams accumulated during the decode.
+
+        Returns dict(nr_rel, nr_read, nr_base, nr_ik, nr_ilen, nr_sub,
+        st_rel, st_read, en_rel, en_read) — rel coordinates are relative
+        to ``filt_start``; emission order (reads in stream order, so
+        per-column subsequences are in mpileup column order)."""
+        lib = get_lib()
+        n_nr = ctypes.c_int64(0)
+        n_st = ctypes.c_int64(0)
+        n_en = ctypes.c_int64(0)
+        lib.pileup_window_filter_sizes(
+            self._h, ctypes.byref(n_nr), ctypes.byref(n_st),
+            ctypes.byref(n_en))
+        nn, ns, ne = n_nr.value, n_st.value, n_en.value
+        out = dict(
+            nr_rel=np.empty(nn, np.int32), nr_read=np.empty(nn, np.int32),
+            nr_base=np.empty(nn, np.int8), nr_ik=np.empty(nn, np.int8),
+            nr_ilen=np.empty(nn, np.int32), nr_sub=np.empty(nn, np.int64),
+            st_rel=np.empty(ns, np.int32), st_read=np.empty(ns, np.int32),
+            en_rel=np.empty(ne, np.int32), en_read=np.empty(ne, np.int32),
+        )
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_window_filter_export(
+            self._h, p(out["nr_rel"]), p(out["nr_read"]), p(out["nr_base"]),
+            p(out["nr_ik"]), p(out["nr_ilen"]), p(out["nr_sub"]),
+            p(out["st_rel"]), p(out["st_read"]), p(out["en_rel"]),
+            p(out["en_read"]))
+        return out
 
     def close(self):
         """Release the C++ record retention and pool the dense arena."""

@@ -35,7 +35,8 @@ namespace {
 
 constexpr int8_t CODE_DEL_FWD = 8;
 constexpr int8_t CODE_DEL_REV = 9;
-constexpr int8_t CODE_SKIP = 10;
+constexpr int8_t CODE_SKIP = 10;      // N/other non-ACGT, forward strand
+constexpr int8_t CODE_SKIP_REV = 11;  // N/other non-ACGT, reverse strand
 constexpr int8_t INDEL_NONE = 0, INDEL_INS = 1, INDEL_DEL = 2;
 
 constexpr uint16_t FLAG_PAIRED = 0x1;
@@ -49,7 +50,10 @@ int8_t base_code(char b, bool rev) {
     case 'C': return rev ? 5 : 1;
     case 'G': return rev ? 6 : 2;
     case 'T': return rev ? 7 : 3;
-    default: return CODE_SKIP;
+    // strand is preserved for skip-family bases: the reference decoders
+    // use the anchor character's case for indel strand ('N' fwd / 'n' rev,
+    // create_tensor_pileup_calling.py:182,199)
+    default: return rev ? CODE_SKIP_REV : CODE_SKIP;
   }
 }
 
@@ -854,7 +858,7 @@ void entry_channel_counts(
     int64_t p = pos[j] - region_start;
     if (p < 0 || p >= L) continue;
     int8_t c = code[j];
-    if (c == 10) continue;          // CODE_SKIP
+    if (c >= 10 && ikind[j] == 0) continue;  // pure N: no view counts it
     if (bq[j] < min_bq) continue;
     bool hi_mq = mq[j] >= low_mq_thresh;
     bool pure = ikind[j] == 0;
@@ -879,7 +883,9 @@ void entry_channel_counts(
       int len = ilen[j];
       bool ok = is_ins ? (len <= max_indel_len) : (len + 1 <= max_indel_len);
       if (ok) {
-        bool fwd = (c < 4) || (c == 8);
+        // anchor-char strand set is 'ACGTN*' fwd (create_tensor:182,199):
+        // N-anchored indels count as forward evidence
+        bool fwd = (c < 4) || (c == 8) || (c == 10);
         depth[p] += 1;
         if (is_ins) {
           row[fwd ? CH_I : CH_i] += 1;
@@ -935,9 +941,16 @@ void entry_candidate_prefilter(
   for (int64_t j = 0; j < n; j++) {
     int64_t p = pos[j] - region_start;
     if (p < 0 || p >= L) continue;
-    if (code[j] == 10 || bq[j] < min_bq || mq[j] < min_mq) continue;
-    depth[p] += 1;
-    if (code[j] < 8) base_counts[p * 4 + code[j] % 4] += 1;
+    if (bq[j] < min_bq || mq[j] < min_mq) continue;
+    // skip-family (N) entries add no depth/base but their indel suffix
+    // counts (extract_candidates decode: pileup_dict['I'/'D'] has no
+    // anchor gate while depth requires an ACGT/#/* key)
+    if (code[j] < 10) {
+      depth[p] += 1;
+      if (code[j] < 8) base_counts[p * 4 + code[j] % 4] += 1;
+    } else if (ikind[j] == 0) {
+      continue;
+    }
     if (ikind[j] == 1) ins_tot[p] += 1;
     else if (ikind[j] == 2) del_tot[p] += 1;
   }
@@ -1069,13 +1082,14 @@ int64_t entry_alt_aggregate(
   bool overflow = false;
   for (int64_t k = 0; k < npos; k++) {
     slots.clear();
-    int16_t pure_slot[10];
-    for (int i = 0; i < 10; i++) pure_slot[i] = -1;
+    int16_t pure_slot[12];
+    for (int i = 0; i < 12; i++) pure_slot[i] = -1;
     for (int64_t t = offsets[k]; t < offsets[k + 1]; t++) {
       int64_t j = idx[t];
       int8_t c = code[j];
-      if (c == 10 || bq[j] < min_bq || mq[j] < min_mq) continue;
+      if (bq[j] < min_bq || mq[j] < min_mq) continue;
       int8_t kind = ikind[j];
+      if (c >= 10 && kind == 0) continue;  // pure N: every counter ignores it
       if (kind == 0) {
         int16_t s = pure_slot[c];
         if (s < 0) {
@@ -1103,8 +1117,8 @@ int64_t entry_alt_aggregate(
     }
     out_nkeys[k] = (int32_t)slots.size();
     for (const Slot& sl : slots) {
-      static const char kBaseChar[10] = {'A', 'C', 'G', 'T',
-                                         'a', 'c', 'g', 't', '*', '#'};
+      static const char kBaseChar[12] = {'A', 'C', 'G', 'T', 'a', 'c',
+                                         'g', 't', '*', '#', 'N', 'n'};
       int64_t slen = (sl.kind == 0) ? 1 : 2 + sl.len;
       *needed_keys += 1;
       *needed_blob += slen;
@@ -1120,7 +1134,8 @@ int64_t entry_alt_aggregate(
         memcpy(dst + 2, iseq_blob + sl.off, (size_t)sl.len);
       } else if (sl.kind == 2) {
         dst[1] = '-';
-        bool rev = (sl.code >= 4 && sl.code < 8) || sl.code == 9;
+        bool rev = (sl.code >= 4 && sl.code < 8) || sl.code == 9 ||
+                   sl.code == 11;
         int64_t p = want[k];
         for (int32_t t = 0; t < sl.len; t++) {
           int64_t ri = p + 1 + t - ref_start;
@@ -1185,7 +1200,7 @@ void entry_filter_stats(
     depth[c] = nstarts[c] = nends[c] = nonref_cnt[c] = col_ins[c] = 0;
   int64_t n_sel = 0, n_nonref = 0, max_read = -1;
   for (int64_t j = j0; j < j1; j++) {
-    if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
+    if (mq[j] < min_mq || bq[j] < min_bq || code[j] >= 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;
     if (col_mask && !col_mask[c]) continue;
@@ -1225,7 +1240,7 @@ void entry_filter_extract(
     int64_t* rse_pos, int32_t* rse_read, int64_t* out_n_rse) {
   int64_t n_rse = 0;
   for (int64_t j = j0; j < j1; j++) {
-    if (mq[j] < min_mq || bq[j] < min_bq || code[j] == 10) continue;
+    if (mq[j] < min_mq || bq[j] < min_bq || code[j] >= 10) continue;
     int64_t c = pos[j] - p0;
     if (c < 0 || c >= m) continue;
     if (col_mask && !col_mask[c]) continue;
@@ -1395,6 +1410,7 @@ inline void accum_tensor(ReduceOut& o, int32_t* out, int32_t* depth,
   bool hi_mq = mq >= o.low_mq;
   int32_t* row = out + rel * o.nchan;
   if (ikind == 0) {
+    if (c >= 10) return;  // pure N: nothing, not even LMQ/LBQ
     if (hi_mq) {
       int ch = c < 4 ? c : (c < 8 ? c + 5 : (c == 8 ? 8 : 17));
       row[ch] += 1;
@@ -1407,7 +1423,7 @@ inline void accum_tensor(ReduceOut& o, int32_t* out, int32_t* depth,
     bool is_ins = ikind == 1;
     bool ok = is_ins ? (ilen <= o.max_indel) : (ilen + 1 <= o.max_indel);
     if (ok) {
-      bool fwd = (c < 4) || (c == 8);
+      bool fwd = (c < 4) || (c == 8) || (c == 10);
       depth[rel] += 1;
       row[is_ins ? (fwd ? 4 : 13) : (fwd ? 6 : 15)] += 1;
     }
@@ -1422,7 +1438,7 @@ inline void accum_tensor(ReduceOut& o, int32_t* out, int32_t* depth,
 // ilen <= max_indel); may be null otherwise.
 inline void accum_entry(ReduceOut& o, int64_t rel, int c, int bq, int mq,
                         int hp, int ikind, int ilen, const char* seq) {
-  if (c == 10) return;  // CODE_SKIP consumes nothing in any view
+  if (c >= 10 && ikind == 0) return;  // pure N consumes nothing in any view
   bool aff_ok = bq >= o.aff_bq;
   if (aff_ok) accum_tensor(o, o.aff, o.aff_depth, rel, c, bq, mq, hp, ikind, ilen);
   if (o.dual) accum_tensor(o, o.neg, o.neg_depth, rel, c, bq, mq, hp, ikind, ilen);
@@ -1430,7 +1446,7 @@ inline void accum_entry(ReduceOut& o, int64_t rel, int c, int bq, int mq,
     bool is_ins = ikind == 1;
     bool ok = is_ins ? (ilen <= o.max_indel) : (ilen + 1 <= o.max_indel);
     if (ok) {
-      bool fwd = (c < 4) || (c == 8);
+      bool fwd = (c < 4) || (c == 8) || (c == 10);
       uint64_t key = (1ull << 63) | ((uint64_t)rel << 37) |
                      ((uint64_t)(fwd ? 1 : 0) << 36) |
                      ((uint64_t)(is_ins ? 0 : 1) << 35) |
@@ -1455,8 +1471,10 @@ inline void accum_entry(ReduceOut& o, int64_t rel, int c, int bq, int mq,
     }
   }
   if (aff_ok && mq >= o.cand_min_mq) {
-    o.cand_depth[rel] += 1;
-    if (c < 8) o.cand_base[rel * 4 + (c & 3)] += 1;
+    if (c < 10) {
+      o.cand_depth[rel] += 1;
+      if (c < 8) o.cand_base[rel * 4 + (c & 3)] += 1;
+    }
     if (ikind == 1) o.cand_ins[rel] += 1;
     else if (ikind == 2) o.cand_del[rel] += 1;
   }
@@ -1477,6 +1495,113 @@ inline void flush_indel_cell(ReduceOut& o, uint64_t key, int32_t ac,
   }
 }
 
+static const int16_t FILT_BASE_ID12[12] = {0, 1, 2, 3, 0, 1, 2, 3,
+                                           8, 9, 10, 10};
+
+// Fused-reduce window state, retained for the masked entries pass.
+// Also carries the filter-view (hard/haplotype verdict) accumulators: the
+// non-ref entry stream, read start/end marks, and dense per-column
+// depth/nonref/inserted-length stats over the extended span
+// [start - fmargin, end + fmargin) — emitted during the SAME decode pass so
+// FilterIndex construction never touches a full entry table again.
+struct WindowHandle {
+  std::vector<std::shared_ptr<RawRecord>> records;
+  // filter-view config (set when filt_depth != nullptr)
+  int filt_min_bq = 0, filt_min_mq = 20;
+  int64_t fstart = 0, fend = 0;       // extended span bounds
+  const int16_t* ref_tok = nullptr;   // [fend - fstart], python-owned
+  int32_t *filt_depth = nullptr, *filt_nonref = nullptr;
+  int32_t *filt_colins = nullptr;     // sum of min(ilen,200) for ins>2
+  // non-ref entry stream (filter view), emission order
+  std::vector<int32_t> nr_rel, nr_read, nr_ilen;
+  std::vector<int8_t> nr_base, nr_ik;
+  std::vector<int64_t> nr_sub;
+  std::unordered_map<std::string, int64_t> long_ins_ids;
+  // read start/end marks (filter view)
+  std::vector<int32_t> st_rel, st_read, en_rel, en_read;
+  // assembled (column-sorted) state, built by pileup_window_filter_assemble
+  bool assembled = false;
+  int64_t T = 11;
+  std::vector<int64_t> nr_token, ck_key, ck_cnt;
+  // overlap-adjusted qual copies (htslib tweak_overlap_quality), computed
+  // over the FULL mate overlap at reduce time and shared by the masked
+  // entries pass — records themselves stay immutable (thread-safety with
+  // the decode-ahead worker)
+  std::unordered_map<const RawRecord*, std::vector<uint8_t>> adj_quals;
+  int excl_flags = 0, min_mapq = 0, handle_overlaps = 0;
+  int64_t start = 0, end = 0;
+  int64_t n_reads = 0;
+};
+
+// Filter-view accumulation for one entry (mirrors entry_filter_stats /
+// entry_filter_extract semantics over the full window, maskless).
+inline void filt_accum(WindowHandle* h, int64_t p, int c, int bq, int mq,
+                       int ikind, int ilen, const char* seq, int rid,
+                       bool is_start, bool is_end) {
+  if (!h->filt_depth) return;
+  if (c >= 10 || mq < h->filt_min_mq || bq < h->filt_min_bq) return;
+  if (p < h->fstart || p >= h->fend) return;
+  int64_t rel = p - h->fstart;
+  h->filt_depth[rel] += 1;
+  if (is_start) { h->st_rel.push_back((int32_t)rel); h->st_read.push_back(rid); }
+  if (is_end) { h->en_rel.push_back((int32_t)rel); h->en_read.push_back(rid); }
+  int16_t b = FILT_BASE_ID12[c];
+  bool is_ref = (ikind == 0) && (b == h->ref_tok[rel]);
+  if (is_ref) return;
+  h->filt_nonref[rel] += 1;
+  int64_t sub = 0;
+  if (ikind == 1) {
+    if (ilen > 2)
+      h->filt_colins[rel] += (ilen < 200 ? ilen : 200);
+    if (ilen <= 8) {
+      int64_t packed = 0;
+      for (int t = 0; t < ilen; t++)
+        packed |= (int64_t)pack3(seq[t]) << (3 * t);
+      sub = packed + 1;
+    } else {
+      // key capped at the 64-byte capture buffer: two distinct >64bp
+      // insertions sharing a 64bp prefix at the same column fold to one
+      // token (affects only a tie-break in the variant-cluster verdict)
+      std::string k(seq, (size_t)(ilen < 64 ? ilen : 64));
+      auto it = h->long_ins_ids.find(k);
+      if (it == h->long_ins_ids.end()) {
+        sub = (1ll << 25) + (int64_t)h->long_ins_ids.size();
+        h->long_ins_ids.emplace(std::move(k), sub);
+      } else {
+        sub = it->second;
+      }
+    }
+  } else if (ikind == 2) {
+    sub = ilen;
+  }
+  h->nr_rel.push_back((int32_t)rel);
+  h->nr_read.push_back(rid);
+  h->nr_base.push_back((int8_t)b);
+  h->nr_ik.push_back((int8_t)ikind);
+  h->nr_ilen.push_back(ilen);
+  h->nr_sub.push_back(sub);
+}
+
+
+// First/last ref-consuming positions of a read ('^'/'$' flag columns).
+inline void read_span_marks(const RecView& v, int64_t* first_pos,
+                            int64_t* last_pos) {
+  int64_t ref_pos = v.pos;
+  *first_pos = -1;
+  *last_pos = -1;
+  for (int i = 0; i < v.n_cigar; i++) {
+    int op = v.cigar[i] & 0xF;
+    int ln = v.cigar[i] >> 4;
+    if (op == 0 || op == 7 || op == 8 || op == 2) {
+      if (*first_pos < 0) *first_pos = ref_pos;
+      *last_pos = ref_pos + ln - 1;
+      ref_pos += ln;
+    } else if (op == 3) {
+      ref_pos += ln;
+    }
+  }
+}
+
 // The fused streaming decode+accumulate for one record.  A one-entry
 // "pending" buffer reproduces the anchor semantics of Decoder::add_read
 // (indel suffix attaches to the previous ref-consuming entry, last-wins)
@@ -1484,29 +1609,40 @@ inline void flush_indel_cell(ReduceOut& o, uint64_t key, int32_t ac,
 // outside [start,end) are skipped — matching the region filters of the
 // entry-table reductions.
 void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
-                   int64_t start, int64_t end, int hp) {
+                   int64_t start, int64_t end, int hp, WindowHandle* h,
+                   int rid) {
   bool rev = v.flag & FLAG_REVERSE;
   int64_t ref_pos = v.pos;
   int qpos = 0;
+  int64_t first_pos = -1, last_pos = -1;
+  if (h && h->filt_depth) read_span_marks(v, &first_pos, &last_pos);
+  const int64_t fstart = h ? h->fstart : 0, fend = h ? h->fend : 0;
   struct Pend {
-    bool valid = false;
+    bool valid = false;    // inside the tensor/candidate window
+    bool fvalid = false;   // inside the extended filter span
     int64_t p = -2;
     int c = 0, bq = 0, ikind = 0, ilen = 0;
     char seq[64];
   } pend;
   auto flush = [&]() {
-    if (pend.valid) {
+    if (pend.valid)
       accum_entry(o, pend.p - start, pend.c, pend.bq, v.mapq, hp, pend.ikind,
                   pend.ilen, pend.seq);
-      pend.valid = false;
-    }
+    if (pend.fvalid)
+      filt_accum(h, pend.p, pend.c, pend.bq, v.mapq, pend.ikind, pend.ilen,
+                 pend.seq, rid, pend.p == first_pos, pend.p == last_pos);
+    pend.valid = false;
+    pend.fvalid = false;
     pend.p = -2;
   };
   auto push = [&](int64_t p, int c, int bq) {
     flush();
     pend.p = p;
-    if (p >= start && p < end) {
-      pend.valid = true;
+    bool valid = p >= start && p < end;
+    bool fvalid = h && h->filt_depth && p >= fstart && p < fend;
+    if (valid || fvalid) {
+      pend.valid = valid;
+      pend.fvalid = fvalid;
       pend.c = c;
       pend.bq = bq;
       pend.ikind = 0;
@@ -1520,9 +1656,24 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
     int op = v.cigar[i] & 0xF;
     int ln = v.cigar[i] >> 4;
     if (op == 0 || op == 7 || op == 8) {  // M, =, X
-      for (int k = 0; k < ln; k++) {
+      // only the LAST base of an M-run can anchor a following indel —
+      // every earlier base flushes immediately, skipping the pending-
+      // entry bookkeeping on ~99% of entries (the single hottest loop)
+      flush();
+      for (int k = 0; k < ln - 1; k++) {
+        int64_t p = ref_pos + k;
         char b = rec_base(v, qpos + k);
-        push(ref_pos + k, base_code(b, rev), eff_q(qpos + k));
+        int c = base_code(b, rev);
+        int q = eff_q(qpos + k);
+        if (p >= start && p < end)
+          accum_entry(o, p - start, c, q, v.mapq, hp, 0, 0, nullptr);
+        if (p >= fstart && p < fend && h && h->filt_depth)
+          filt_accum(h, p, c, q, v.mapq, 0, 0, nullptr, rid,
+                     p == first_pos, p == last_pos);
+      }
+      if (ln > 0) {
+        char b = rec_base(v, qpos + ln - 1);
+        push(ref_pos + ln - 1, base_code(b, rev), eff_q(qpos + ln - 1));
       }
       ref_pos += ln;
       qpos += ln;
@@ -1530,8 +1681,8 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
       if (pend.p == ref_pos - 1) {
         pend.ikind = 1;
         pend.ilen = ln;
-        if (pend.valid && ln <= 60) {
-          for (int k = 0; k < ln; k++) {
+        if (pend.valid || pend.fvalid) {
+          for (int k = 0; k < ln && k < 64; k++) {
             char b = rec_base(v, qpos + k);
             pend.seq[k] = (char)toupper(b);
           }
@@ -1559,19 +1710,6 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
   }
   flush();
 }
-
-// Fused-reduce window state, retained for the masked entries pass.
-struct WindowHandle {
-  std::vector<std::shared_ptr<RawRecord>> records;
-  // overlap-adjusted qual copies (htslib tweak_overlap_quality), computed
-  // over the FULL mate overlap at reduce time and shared by the masked
-  // entries pass — records themselves stay immutable (thread-safety with
-  // the decode-ahead worker)
-  std::unordered_map<const RawRecord*, std::vector<uint8_t>> adj_quals;
-  int excl_flags = 0, min_mapq = 0, handle_overlaps = 0;
-  int64_t start = 0, end = 0;
-  int64_t n_reads = 0;
-};
 
 std::vector<uint8_t>& adj_for(WindowHandle* h, const RawRecord* r,
                               const RecView& v) {
@@ -1662,25 +1800,6 @@ void stage_overlaps(WindowHandle* h) {
   }
 }
 
-// First/last ref-consuming positions of a read ('^'/'$' flag columns).
-inline void read_span_marks(const RecView& v, int64_t* first_pos,
-                            int64_t* last_pos) {
-  int64_t ref_pos = v.pos;
-  *first_pos = -1;
-  *last_pos = -1;
-  for (int i = 0; i < v.n_cigar; i++) {
-    int op = v.cigar[i] & 0xF;
-    int ln = v.cigar[i] >> 4;
-    if (op == 0 || op == 7 || op == 8 || op == 2) {
-      if (*first_pos < 0) *first_pos = ref_pos;
-      *last_pos = ref_pos + ln - 1;
-      ref_pos += ln;
-    } else if (op == 3) {
-      ref_pos += ln;
-    }
-  }
-}
-
 }  // namespace
 
 extern "C" {
@@ -1696,7 +1815,12 @@ void* pileup_window_reduce(
     int low_bq_thresh, int max_indel_len, int with_phasing, int cand_min_mq,
     int dual, int32_t* aff_counts, int32_t* aff_depth, int32_t* neg_counts,
     int32_t* neg_depth, int32_t* cand_base, int32_t* cand_depth,
-    int32_t* cand_ins, int32_t* cand_del, int64_t* out_n_reads) {
+    int32_t* cand_ins, int32_t* cand_del,
+    // filter-view accumulation over [start - fmargin, end + fmargin):
+    // ref_tok [span] int16 (10 = non-ACGT sentinel); pass nulls to disable
+    int64_t fmargin, const int16_t* ref_tok, int filt_min_bq,
+    int filt_min_mq, int32_t* filt_depth, int32_t* filt_nonref,
+    int32_t* filt_colins, int64_t* out_n_reads) {
   auto* s = (BamStream*)sh;
   int rid = stream_rid(s, ctg);
   int64_t L = end - start;
@@ -1710,6 +1834,20 @@ void* pileup_window_reduce(
   h->end = end;
   select_window_records(s, rid, start, end, &h->records);
   if (handle_overlaps) stage_overlaps(h);
+  if (ref_tok && filt_depth) {
+    h->fstart = start - fmargin;
+    h->fend = end + fmargin;
+    h->ref_tok = ref_tok;
+    h->filt_min_bq = filt_min_bq;
+    h->filt_min_mq = filt_min_mq;
+    h->filt_depth = filt_depth;
+    h->filt_nonref = filt_nonref;
+    h->filt_colins = filt_colins;
+    int64_t fl = h->fend - h->fstart;
+    memset(filt_depth, 0, (size_t)fl * sizeof(int32_t));
+    memset(filt_nonref, 0, (size_t)fl * sizeof(int32_t));
+    memset(filt_colins, 0, (size_t)fl * sizeof(int32_t));
+  }
 
   ReduceOut o;
   o.aff = aff_counts;
@@ -1750,7 +1888,7 @@ void* pileup_window_reduce(
     const uint8_t* adj = nullptr;
     auto it = h->adj_quals.find(sp.get());
     if (it != h->adj_quals.end()) adj = it->second.data();
-    reduce_record(o, v, adj, start, end, hp);
+    reduce_record(o, v, adj, start, end, hp, h, (int)n_reads);
     n_reads++;
   }
   // distinct-seq max channels (I1/i1/D1/d1)
@@ -1776,9 +1914,19 @@ void pileup_window_entries_count(void* wh, const uint8_t* mask,
   auto* h = (WindowHandle*)wh;
   *n_entries = 0;
   *blob_len = 0;
+  // prefix sum over the mask: per-op masked-column counts become O(1)
+  // instead of O(bases) — decisive for sparse (radius-0) site masks
+  std::vector<int64_t> psum(mask_len + 1, 0);
+  for (int64_t i = 0; i < mask_len; i++)
+    psum[i + 1] = psum[i] + (mask[i] ? 1 : 0);
   auto masked = [&](int64_t p) {
     int64_t r = p - mask_start;
     return r >= 0 && r < mask_len && mask[r];
+  };
+  auto count_range = [&](int64_t a, int64_t b) -> int64_t {
+    a = std::max(a - mask_start, (int64_t)0);
+    b = std::min(b - mask_start, mask_len);
+    return (b > a) ? psum[b] - psum[a] : 0;
   };
   for (auto& sp : h->records) {
     RecView v;
@@ -1789,8 +1937,7 @@ void pileup_window_entries_count(void* wh, const uint8_t* mask,
       int op = v.cigar[i] & 0xF;
       int64_t ln = v.cigar[i] >> 4;
       if (op == 0 || op == 7 || op == 8 || op == 2) {  // M,=,X,D
-        for (int64_t k = 0; k < ln; k++)
-          if (masked(ref_pos + k)) (*n_entries)++;
+        *n_entries += count_range(ref_pos, ref_pos + ln);
         last_pos = ref_pos + ln - 1;
         ref_pos += ln;
       } else if (op == 1) {  // I
@@ -1819,6 +1966,19 @@ int64_t pileup_window_entries_fill(
   auto masked = [&](int64_t p) {
     int64_t r = p - mask_start;
     return r >= 0 && r < mask_len && mask[r];
+  };
+  // next masked column at or after index i (mask_len = "none")
+  std::vector<int32_t> nxt(mask_len + 1);
+  nxt[mask_len] = (int32_t)mask_len;
+  for (int64_t i = mask_len - 1; i >= 0; i--)
+    nxt[i] = mask[i] ? (int32_t)i : nxt[i + 1];
+  // first masked ABSOLUTE position >= p (or INT64_MAX)
+  auto next_masked = [&](int64_t p) -> int64_t {
+    int64_t r = p - mask_start;
+    if (r >= mask_len) return INT64_MAX;
+    if (r < 0) r = 0;
+    int64_t j = nxt[r];
+    return (j >= mask_len) ? INT64_MAX : j + mask_start;
   };
   int64_t n = 0, bl = 0;
   int32_t rid = 0;
@@ -1865,9 +2025,24 @@ int64_t pileup_window_entries_fill(
       int op = v.cigar[i] & 0xF;
       int ln = v.cigar[i] >> 4;
       if (op == 0 || op == 7 || op == 8) {
-        for (int k = 0; k < ln; k++) {
+        // jump straight between masked columns; the final base must still
+        // go through push (it is the only possible indel anchor), and the
+        // push() bookkeeping only matters for masked positions anyway
+        int64_t p = next_masked(ref_pos);
+        int64_t run_end = ref_pos + ln;
+        bool tail_done = false;
+        while (p < run_end) {
+          if (p == run_end - 1) tail_done = true;
+          int k = (int)(p - ref_pos);
           char b = rec_base(v, qpos + k);
-          push(ref_pos + k, base_code(b, rev), eff_q(qpos + k));
+          push(p, base_code(b, rev), eff_q(qpos + k));
+          p = next_masked(p + 1);
+        }
+        if (!tail_done) {
+          // unmasked tail base: reset the anchor exactly like a masked
+          // walk would (push on an unmasked position invalidates it)
+          last_push_pos = run_end - 1;
+          last_entry_idx = -1;
         }
         ref_pos += ln;
         qpos += ln;
@@ -1887,10 +2062,21 @@ int64_t pileup_window_entries_fill(
           ikind[last_entry_idx] = INDEL_DEL;
           ilen[last_entry_idx] = ln;
         }
-        int nxt = qpos < v.l_seq ? qpos : (v.l_seq ? v.l_seq - 1 : 0);
-        int del_bq = v.l_seq ? rec_qual(v, nxt) : 0;
+        int nq = qpos < v.l_seq ? qpos : (v.l_seq ? v.l_seq - 1 : 0);
+        int del_bq = v.l_seq ? rec_qual(v, nq) : 0;
         int cd = rev ? CODE_DEL_REV : CODE_DEL_FWD;
-        for (int k = 0; k < ln; k++) push(ref_pos + k, cd, del_bq);
+        int64_t p = next_masked(ref_pos);
+        int64_t run_end = ref_pos + ln;
+        bool tail_done = false;
+        while (p < run_end) {
+          if (p == run_end - 1) tail_done = true;
+          push(p, cd, del_bq);
+          p = next_masked(p + 1);
+        }
+        if (!tail_done) {
+          last_push_pos = run_end - 1;
+          last_entry_idx = -1;
+        }
         ref_pos += ln;
       } else if (op == 3) {
         ref_pos += ln;
@@ -1909,6 +2095,116 @@ int64_t pileup_window_entries_fill(
 
 int64_t pileup_window_reduce_n_reads(void* wh) {
   return ((WindowHandle*)wh)->n_reads;
+}
+
+// Column-sort the non-ref stream in place (counting sort keyed by rel;
+// stable, preserving per-column mpileup order) and build the per-(column,
+// token) distinct-count table used by col_token_count.  O(n) + one
+// O(n log n) sort of the column-token composites; runs once per window —
+// on the decode-ahead worker, off the verdict critical path.
+void pileup_window_filter_assemble(void* wh, int64_t span,
+                                   int64_t* out_n_keys) {
+  auto* h = (WindowHandle*)wh;
+  const int64_t n = (int64_t)h->nr_rel.size();
+  if (h->assembled) { *out_n_keys = (int64_t)h->ck_key.size(); return; }
+  // per-column counts -> offsets
+  std::vector<int64_t> cnt((size_t)span + 1, 0);
+  for (int64_t i = 0; i < n; i++) cnt[h->nr_rel[i] + 1]++;
+  for (int64_t c = 0; c < span; c++) cnt[c + 1] += cnt[c];
+  std::vector<int32_t> s_rel(n), s_read(n), s_ilen(n);
+  std::vector<int8_t> s_base(n), s_ik(n);
+  std::vector<int64_t> s_sub(n);
+  {
+    std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t k = cur[h->nr_rel[i]]++;
+      s_rel[k] = h->nr_rel[i];
+      s_read[k] = h->nr_read[i];
+      s_ilen[k] = h->nr_ilen[i];
+      s_base[k] = h->nr_base[i];
+      s_ik[k] = h->nr_ik[i];
+      s_sub[k] = h->nr_sub[i];
+    }
+  }
+  h->nr_rel.swap(s_rel);
+  h->nr_read.swap(s_read);
+  h->nr_ilen.swap(s_ilen);
+  h->nr_base.swap(s_base);
+  h->nr_ik.swap(s_ik);
+  h->nr_sub.swap(s_sub);
+  // tokens + per-(col, token) counts
+  h->nr_token.resize(n);
+  int64_t maxtok = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t t = (int64_t)h->nr_base[i] + (int64_t)h->nr_ik[i] * 16 +
+                h->nr_sub[i] * 64;
+    h->nr_token[i] = t;
+    if (t > maxtok) maxtok = t;
+  }
+  h->T = maxtok + 11;
+  std::vector<int64_t> keys(n);
+  for (int64_t i = 0; i < n; i++)
+    keys[i] = (int64_t)h->nr_rel[i] * h->T + h->nr_token[i];
+  std::sort(keys.begin(), keys.end());
+  h->ck_key.clear();
+  h->ck_cnt.clear();
+  for (int64_t i = 0; i < n;) {
+    int64_t j = i;
+    while (j < n && keys[j] == keys[i]) j++;
+    h->ck_key.push_back(keys[i]);
+    h->ck_cnt.push_back(j - i);
+    i = j;
+  }
+  h->assembled = true;
+  *out_n_keys = (int64_t)h->ck_key.size();
+}
+
+void pileup_window_filter_export_assembled(
+    void* wh, int32_t* nr_rel, int32_t* nr_read, int64_t* nr_token,
+    int8_t* nr_ik, int8_t* nr_base, int64_t* ck_key, int64_t* ck_cnt,
+    int64_t* out_T) {
+  auto* h = (WindowHandle*)wh;
+  auto cp = [](auto& v, auto* dst) {
+    if (!v.empty()) memcpy(dst, v.data(), v.size() * sizeof(v[0]));
+  };
+  cp(h->nr_rel, nr_rel);
+  cp(h->nr_read, nr_read);
+  cp(h->nr_token, nr_token);
+  cp(h->nr_ik, nr_ik);
+  cp(h->nr_base, nr_base);
+  cp(h->ck_key, ck_key);
+  cp(h->ck_cnt, ck_cnt);
+  *out_T = h->T;
+}
+
+// Filter-view stream sizes accumulated by pileup_window_reduce.
+void pileup_window_filter_sizes(void* wh, int64_t* n_nr, int64_t* n_st,
+                                int64_t* n_en) {
+  auto* h = (WindowHandle*)wh;
+  *n_nr = (int64_t)h->nr_rel.size();
+  *n_st = (int64_t)h->st_rel.size();
+  *n_en = (int64_t)h->en_rel.size();
+}
+
+void pileup_window_filter_export(void* wh, int32_t* nr_rel, int32_t* nr_read,
+                                 int8_t* nr_base, int8_t* nr_ik,
+                                 int32_t* nr_ilen, int64_t* nr_sub,
+                                 int32_t* st_rel, int32_t* st_read,
+                                 int32_t* en_rel, int32_t* en_read) {
+  auto* h = (WindowHandle*)wh;
+  auto cp = [](auto& v, auto* dst) {
+    if (!v.empty()) memcpy(dst, v.data(), v.size() * sizeof(v[0]));
+  };
+  cp(h->nr_rel, nr_rel);
+  cp(h->nr_read, nr_read);
+  cp(h->nr_base, nr_base);
+  cp(h->nr_ik, nr_ik);
+  cp(h->nr_ilen, nr_ilen);
+  cp(h->nr_sub, nr_sub);
+  cp(h->st_rel, st_rel);
+  cp(h->st_read, st_read);
+  cp(h->en_rel, en_rel);
+  cp(h->en_read, en_read);
 }
 
 void pileup_window_release(void* wh) { delete (WindowHandle*)wh; }

@@ -58,7 +58,14 @@ CODE_ACGT_FWD = {b: i for i, b in enumerate("ACGT")}          # 0..3
 CODE_ACGT_REV = {b: i + 4 for i, b in enumerate("ACGT")}      # 4..7
 CODE_DEL_FWD = 8   # '*'
 CODE_DEL_REV = 9   # '#'
-CODE_SKIP = 10     # N or other non-ACGT base: consumes nothing in any view
+CODE_SKIP = 10      # N/non-ACGT base, forward strand
+CODE_SKIP_REV = 11  # N/non-ACGT base, reverse strand
+# pure skip-family entries consume nothing in any view, but an indel suffix
+# anchored on one still counts: the reference decoders key indel strand by
+# the anchor char with 'N' in the FORWARD set and 'n' reverse
+# (create_tensor_pileup_calling.py:182,199); alt_info/candidate keys keep
+# the N anchor char.  Executed-oracle-verified by
+# tests/test_reference_decoder_oracle.py.
 
 INDEL_NONE, INDEL_INS, INDEL_DEL = 0, 1, 2
 
@@ -302,7 +309,7 @@ class PileupEngine:
                     if b in "ACGT":
                         code = CODE_ACGT_REV[b] if rev else CODE_ACGT_FWD[b]
                     else:
-                        code = CODE_SKIP
+                        code = CODE_SKIP_REV if rev else CODE_SKIP
                     last_entry_idx = push(ref_pos + k, code, int(qual[qpos + k]))
                 ref_pos += ln
                 qpos += ln
@@ -481,7 +488,8 @@ class PileupEngine:
         depth = np.zeros(L, dtype=np.int32)
 
         inb = (a["pos"] >= region_start) & (a["pos"] < region_end)
-        sel = inb & (a["bq"] >= min_bq) & (a["code"] != CODE_SKIP)
+        sel = inb & (a["bq"] >= min_bq) & (
+            (a["code"] < CODE_SKIP) | (a["ikind"] != INDEL_NONE))
         idx_all = np.nonzero(sel)[0]
         pos = a["pos"][idx_all] - region_start
         code = a["code"][idx_all]
@@ -494,8 +502,8 @@ class PileupEngine:
         hi = mq >= cfg.LOW_MQ_THRESHOLD
         pure = ikind == INDEL_NONE
 
-        # main channels: pure entries with mq>=20
-        m = hi & pure
+        # main channels: pure entries with mq>=20 (skip-family excluded)
+        m = hi & pure & (code < CODE_SKIP)
         ch = np.where(
             code[m] < 4,
             code[m],
@@ -535,10 +543,9 @@ class PileupEngine:
             kind, ln = int(a["ikind"][j]), int(a["ilen"][j])
             if not self._indel_ok_tensor(kind, ln):
                 continue
-            rev_entry = (a["code"][j] >= 4) & (a["code"][j] != CODE_DEL_FWD)
             # strand by anchor char: 'ACGTN*' fwd else rev (create_tensor:182,199)
             c = int(a["code"][j])
-            fwd = c < 4 or c == CODE_DEL_FWD
+            fwd = c < 4 or c == CODE_DEL_FWD or c == CODE_SKIP
             depth[p] += 1
             if kind == INDEL_INS:
                 out[p, _CH["I" if fwd else "i"]] += 1
@@ -632,7 +639,7 @@ class PileupEngine:
             for j in per_pos_entries.get(p, []):
                 if self._bq[j] < min_bq or self._mq[j] < min_mq:
                     continue
-                if self._code[j] == CODE_SKIP:
+                if self._code[j] >= CODE_SKIP and self._ikind[j] == INDEL_NONE:
                     continue
                 key = self._entry_string(j)
                 if key not in counter:
@@ -705,15 +712,17 @@ class PileupEngine:
             base = "acgt"[c - 4]
         elif c == CODE_DEL_FWD:
             base = "*"
-        else:
+        elif c == CODE_DEL_REV:
             base = "#"
+        else:
+            base = "N" if c == CODE_SKIP else "n"
         kind = self._ikind[j]
         if kind == INDEL_NONE:
             return base
         if kind == INDEL_INS:
             return base + "+" + self._iseq[j]
         # deletion suffix: mpileup shows the deleted ref seq, lowercase on rev
-        rev = (4 <= c < 8) or c == CODE_DEL_REV
+        rev = (4 <= c < 8) or c == CODE_DEL_REV or c == CODE_SKIP_REV
         dl = self._ilen[j]
         p = self._pos[j]
         seq = "".join(self._ref_base(p + 1 + t) for t in range(dl))
@@ -816,7 +825,7 @@ class PileupEngine:
                 & (a["pos"] < region_end)
                 & (a["mq"] >= cfg.MIN_MQ)
                 & (a["bq"] >= min_bq)
-                & (a["code"] != CODE_SKIP)
+                & ((a["code"] < CODE_SKIP) | (a["ikind"] != INDEL_NONE))
             )
             idx_all = np.nonzero(sel)[0]
             pos_rel = (a["pos"][idx_all] - region_start).astype(np.int64)
@@ -826,7 +835,9 @@ class PileupEngine:
             base_counts = np.bincount(
                 pos_rel[base_m] * 4 + code[base_m] % 4, minlength=L * 4
             ).reshape(L, 4).astype(np.int32)
-            depth_arr = np.bincount(pos_rel, minlength=L).astype(np.int32)
+            # skip-family entries add no depth (their key has no ACGT/#/*)
+            depth_arr = np.bincount(
+                pos_rel[code < CODE_SKIP], minlength=L).astype(np.int32)
             ins_tot = np.bincount(
                 pos_rel[ikind_arr == INDEL_INS], minlength=L
             ).astype(np.int32)

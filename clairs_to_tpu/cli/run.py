@@ -93,6 +93,26 @@ def build_parser():
                           "run_clairs_to:557).")
     adv.add_argument("--disable_read_start_end_filtering", action="store_true",
                      help="Skip the read-start/end hard filter verdict.")
+    adv.add_argument("--longphase", default=None,
+                     help="Path to the longphase binary (default: $PATH "
+                          "lookup when --use_longphase_* is set).")
+    adv.add_argument("--whatshap", default=None,
+                     help="Path to the whatshap binary (default: $PATH "
+                          "lookup when --use_whatshap_* is set).")
+    adv.add_argument("--use_longphase_for_intermediate_phasing", default=None,
+                     help="Phase the het-SNP set with longphase (subprocess, "
+                          "run_clairs_to:1377-1393) instead of the internal "
+                          "read-graph phaser; graceful fallback with a "
+                          "warning when the binary is absent.")
+    adv.add_argument("--use_whatshap_for_intermediate_phasing", default=None,
+                     help="Phase the het-SNP set with whatshap (subprocess, "
+                          "run_clairs_to:1395-1405); graceful fallback when "
+                          "absent.")
+    adv.add_argument("--exact_reference_fisher", action="store_true",
+                     help="Strand-bias Fisher test with bit-exact "
+                          "reference-recurrence arithmetic (PASS-set parity "
+                          "mode; the default always includes exactly-tied "
+                          "tables, scipy semantics).")
     adv.add_argument("--cna_resource_dir", default=None,
                      help="Verdict CNA resource dir (G1000 loci/GC/RT "
                           "tracks). Without it, het-like calls serve as "
@@ -154,16 +174,14 @@ def build_parser():
                            f"(ClairS-TO {cfg.REFERENCE_VERSION} compatible)")
 
     compat = p.add_argument_group("Compatibility (accepted, unused)")
-    for flag in ("--samtools", "--pypy", "--python", "--parallel", "--whatshap",
-                 "--longphase", "--conda_prefix", "--tee", "--cmdline",
+    for flag in ("--samtools", "--pypy", "--python", "--parallel",
+                 "--conda_prefix", "--tee", "--cmdline",
                  "--output_path", "--chunk_list", "--allele_counter_dir",
                  "--bam_mplp_set_maxcnt", "--haplotype_chunk_max_sites",
                  "--haplotype_chunk_max_span", "--haplotype_chunk_mpileup_bed",
                  "--haplotype_filtering_chunk_mode",
                  "--haplotype_input_filter_tag",
                  "--postfilter_variants_chunk_mode",
-                 "--use_longphase_for_intermediate_phasing",
-                 "--use_whatshap_for_intermediate_phasing",
                  "--use_longphase_for_intermediate_haplotagging"):
         compat.add_argument(flag, default=None, help=argparse.SUPPRESS)
     for flag in ("--use_gpu", "--debug", "--prefer_recall", "--prefer_balance"):
@@ -389,6 +407,13 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
     if not pass_rows:
         return
 
+    from clairs_to_tpu.postcall.hardfilter import (
+        fisher_exact,
+        fisher_exact_reference,
+    )
+
+    fisher = (fisher_exact_reference if args.exact_reference_fisher
+              else fisher_exact)
     if apply_hap_filter:
         from clairs_to_tpu.phasing.phaser import phase_and_tag
         from clairs_to_tpu.postcall.haplotype import (
@@ -413,13 +438,53 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             (r["POS"] - 1, r["REF"], r["ALT"])
             for r in het_rows if r["AF"] >= 0.35
         ]
-        phase_and_tag(pe, anchors)
+        tagged = False
+        ext_tool = None
+        if _str2bool(args.use_longphase_for_intermediate_phasing or ""):
+            ext_tool = "longphase"
+        elif _str2bool(args.use_whatshap_for_intermediate_phasing or ""):
+            ext_tool = "whatshap"
+        if ext_tool and anchors:
+            from clairs_to_tpu.phasing import external as extph
+
+            binary = extph.resolve_binary(
+                args.longphase if ext_tool == "longphase" else args.whatshap,
+                ext_tool)
+            if binary is None:
+                if not getattr(args, "_ext_phaser_warned", False):
+                    print(f"[WARNING] --use_{ext_tool}_for_intermediate_"
+                          f"phasing requested but no {ext_tool} binary found"
+                          " — falling back to the internal phaser.")
+                    args._ext_phaser_warned = True
+            else:
+                ph_dir = os.path.join(args.output_dir, "tmp",
+                                      "phasing_output")
+                os.makedirs(ph_dir, exist_ok=True)
+                tag = f"{chunk.ctg_name}_{chunk.chunk_id}"
+                het_vcf = extph.write_het_vcf(
+                    os.path.join(ph_dir, f"het_{tag}.vcf"),
+                    chunk.ctg_name, anchors, sample=args.sample_name)
+                phased = extph.run_external_phase(
+                    ext_tool, binary, het_vcf, pipe.bam_path, args.ref_fn,
+                    os.path.join(ph_dir, f"tumor_phased_{tag}"),
+                    chunk.ctg_name, platform=cfg.platform_family(args.platform),
+                    threads=args.threads)
+                if phased is None:
+                    print(f"[WARNING] {ext_tool} phase failed for chunk "
+                          f"{tag} — falling back to the internal phaser.")
+                else:
+                    orients = extph.load_phase_orientations(phased, anchors)
+                    extph.phase_and_tag_with_orientations(pe, anchors, orients)
+                    tagged = True
+        if not tagged:
+            phase_and_tag(pe, anchors)
         engine = HaplotypeFilterEngine(
             pe,
             hetero_germline=[(r["POS"] - 1, r["ALT"]) for r in het_rows],
             homo_germline=[(r["POS"] - 1, r["ALT"]) for r in hom_rows],
             disable_read_start_end_filtering=args.disable_read_start_end_filtering,
             site_positions=[r["POS"] - 1 for r in pass_rows],
+            fisher=fisher,
         )
         verdicts = {}
         for row in pass_rows:
@@ -454,6 +519,7 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             pe,
             disable_read_start_end_filtering=args.disable_read_start_end_filtering,
             site_positions=[r["POS"] - 1 for r in pass_rows],
+            fisher=fisher,
         )
         verdicts = {}
         for row in pass_rows:
@@ -806,6 +872,7 @@ def _pipeline_body(args, metrics, t0, tee):
         else fam == "ilmn"
     )
 
+    options.precompute_filter_assembly = apply_hap_filter or apply_postfilter
     pipe = CallingPipeline(
         fasta, args.tumor_bam_fn, None, None, options,
         metrics=metrics,

@@ -66,6 +66,10 @@ class PipelineOptions:
     alt_fn: Optional[str] = None
     output_depth: bool = False
     output_alt_info: bool = False
+    # precompute the window filter-index assembly during build_chunk_views
+    # (i.e. on the decode-ahead worker) so the verdict stage starts from
+    # ready state; set by the CLI when a filter stage will run
+    precompute_filter_assembly: bool = False
 
 
 @dataclass
@@ -131,6 +135,20 @@ class CallingPipeline:
                 # counts + candidate stats in ONE pass, entry columns
                 # fetched lazily per site window — the full entry table
                 # (7.7GB first-touch per 4Mb@60x chunk) is never built
+                # filter-view stats accumulate in the same pass so the
+                # hard/haplotype filter stage needs no entry fetch at all
+                f_lo = region_start - native.FILT_MARGIN
+                f_hi = region_end + native.FILT_MARGIN
+                ref_tok = np.full(f_hi - f_lo, 10, np.int16)
+                ref_u8 = np.frombuffer(
+                    ref_seq.upper().encode("latin-1"), np.uint8)
+                s_lo = max(f_lo - ref_start, 0)
+                s_hi = min(f_hi - ref_start, len(ref_u8))
+                if s_hi > s_lo:
+                    from clairs_to_tpu.postcall.hardfilter import _REF_TOK
+
+                    ref_tok[s_lo + ref_start - f_lo : s_hi + ref_start - f_lo] = \
+                        _REF_TOK[ref_u8[s_lo:s_hi]]
                 win = self._stream.load_window_reduced(
                     ctg, region_start, region_end,
                     excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
@@ -141,6 +159,7 @@ class CallingPipeline:
                     max_indel_length=self.opt.max_indel_length,
                     with_phasing=self.opt.phase_tensor,
                     cand_min_mq=cfg.MIN_MQ,
+                    filter_view=(ref_tok, cfg.MIN_BQ, cfg.MIN_MQ),
                 )
                 if win is not None:
                     pe = PileupEngine.from_native_window(
@@ -196,6 +215,10 @@ class CallingPipeline:
         pe.apply_reference_encoding(aff_counts, region_start)
         if neg_counts is not aff_counts:
             pe.apply_reference_encoding(neg_counts, region_start)
+        if (self.opt.precompute_filter_assembly
+                and getattr(pe, "_win", None) is not None
+                and pe._win.has_filter_data):
+            pe._win.filter_assembly()
         views = (pe, aff_counts, neg_counts, region_start, region_end)
         self._views_memo[chunk] = views
         if self.metrics is not None:

@@ -33,6 +33,7 @@ from clairs_to_tpu.postcall.hardfilter import (
     SEQUENCE_ENTROPY_THRESHOLD,
     FilterIndex,
     _BASE_ID,
+    _make_filter_index,
     calculate_sequence_entropy,
     fisher_exact,
 )
@@ -71,7 +72,7 @@ class HaplotypeFilterEngine:
                  max_co_exist_read_num=2,
                  disable_read_start_end_filtering=False,
                  hetero_germline=None, homo_germline=None,
-                 site_positions=None):
+                 site_positions=None, fisher=None):
         """hetero/homo_germline: [(pos0, alt_base)] flanking germline calls
         from the pileup germline VCF (haplotype_filtering.py:901-939).
 
@@ -87,8 +88,12 @@ class HaplotypeFilterEngine:
         self.disable_rse = disable_read_start_end_filtering
         self.hetero_germline = sorted(hetero_germline or [])
         self.homo_germline = sorted(homo_germline or [])
-        self.ix = FilterIndex(pileup_engine, min_bq, min_mq,
-                              site_positions=site_positions)
+        self.fisher = fisher or fisher_exact
+        # germline columns (⑤⑥ states) need full-column entry rows too
+        germ_cols = [p for (p, _a) in self.hetero_germline] + \
+            [p for (p, _a) in self.homo_germline]
+        self.ix = _make_filter_index(pileup_engine, min_bq, min_mq,
+                                     site_positions, extra_columns=germ_cols)
         self._het_memo = {}
         self._hom_memo = {}
 
@@ -271,7 +276,7 @@ class HaplotypeFilterEngine:
         nrev = int(rev.sum())
         r0, r1 = len(reads) - nrev - a0, nrev - a1
         v.strand_table = ((a0, r0), (a1, r1))
-        p_value = fisher_exact([[a0, r0], [a1, r1]])
+        p_value = self.fisher([[a0, r0], [a1, r1]])
         v.strand_bias_p = p_value
         if is_snp and p_value < 0.001 or (a0 == 0 or a1 == 0):
             v.pass_strand_bias = False

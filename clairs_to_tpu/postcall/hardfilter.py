@@ -77,6 +77,55 @@ def fisher_exact(table):
     return min(p, 1.0)
 
 
+def fisher_exact_reference(table):
+    """Bit-exact recurrence-parity two-sided Fisher test (opt-in).
+
+    Reproduces the reference's arithmetic exactly
+    (/root/reference/src/postfilter_variants.py:52-88,
+    src/haplotype_filtering.py:60-96): the observed-table probability from
+    exact integer binomials (one correctly-rounded float division), then a
+    multiplicative float recurrence walking each tail, accumulating tables
+    with curP <= t.  On symmetric-margin tables the opposite tail's
+    exactly-tied mirror is included or excluded purely by float round-off
+    direction — that round-off is the point of this mode: selecting it
+    (--exact_reference_fisher) makes the PASS set bitwise-identical to the
+    reference pipeline's, where the default ``fisher_exact`` deliberately
+    always includes exact ties (scipy semantics; see its docstring).
+    """
+    a, b, c, d = table[0][0], table[0][1], table[1][0], table[1][1]
+    if a == b == c == d:
+        return 1.0
+    t = math.comb(a + b, a) * math.comb(c + d, c) / math.comb(a + b + c + d,
+                                                              a + c)
+    # each tail accumulates in its own partial sum before joining p — float
+    # addition is non-associative, so the summation ORDER is part of parity
+    left = 0.0
+    cur = float(t)
+    aa, bb, cc, dd = a, b, c, d
+    while aa > 0 and dd > 0:
+        cur *= aa * dd
+        aa -= 1
+        bb += 1
+        cc += 1
+        dd -= 1
+        cur /= bb * cc
+        if cur <= t:
+            left += cur
+    right = 0.0
+    cur = float(t)
+    aa, bb, cc, dd = a, b, c, d
+    while bb > 0 and cc > 0:
+        cur *= bb * cc
+        aa += 1
+        bb -= 1
+        cc -= 1
+        dd += 1
+        cur /= aa * dd
+        if cur <= t:
+            right += cur
+    return t + left + right
+
+
 def calculate_sequence_entropy(sequence, entropy_window, kmer=5):
     """Shannon entropy of the k-mer multiset over the final
     ``entropy_window`` k-mer frames of ``sequence``.
@@ -124,9 +173,9 @@ class FilterVerdict:
 
 _INDEL_NONE, _INDEL_INS, _INDEL_DEL = 0, 1, 2
 # base-identity of an uppercased entry: codes 0-7 fold to ACGT 0-3,
-# 8 ('*') and 9 ('#') stay distinct; 10 is the ref-token sentinel for
-# non-ACGT / out-of-range reference bases (no entry ever produces it)
-_BASE_ID = np.array([0, 1, 2, 3, 0, 1, 2, 3, 8, 9, 10], np.int16)
+# 8 ('*') and 9 ('#') stay distinct; 10/11 (N fwd/rev) fold to the ref-token
+# sentinel 10 (skip-family entries are excluded from the filter view anyway)
+_BASE_ID = np.array([0, 1, 2, 3, 0, 1, 2, 3, 8, 9, 10, 10], np.int16)
 _REF_TOK = np.full(256, 10, np.int16)
 for _i, _ch in enumerate("ACGT"):
     _REF_TOK[ord(_ch)] = _i
@@ -353,7 +402,7 @@ class FilterIndex:
     def _init_numpy(self, a, n, m, min_bq, min_mq):
         """Pure-numpy fallback with identical outputs (tests cross-validate
         the two paths via the golden filter suite)."""
-        sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] != 10)
+        sel = (a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] < 10)
         if self.col_mask is not None:
             rel_all = a["pos"] - self.p0
             sel &= self.col_mask[rel_all].astype(bool)
@@ -553,14 +602,116 @@ class FilterIndex:
         return match_count, ins_length
 
 
+class WindowFilterIndex(FilterIndex):
+    """FilterIndex served from the fused decode's filter-view accumulation.
+
+    The decode pass (bamio/native pileup_window_reduce) already emitted,
+    under the filter view (mq>=20, bq>=0, skip-family excluded):
+
+      * dense per-column depth / non-ref counts / inserted-length sums over
+        the extended span [win.filt_start, win.filt_end),
+      * the non-ref entry stream (rel, read, base, ikind, ilen, distinct-seq
+        sub id), per-column subsequences in mpileup order,
+      * every read start/end mark.
+
+    So nothing here touches a full entry table: full-column entry rows are
+    needed only at verdict CENTER and germline columns — which the calling
+    pipeline already fetched at radius 0 (candidate columns) — and the rest
+    assembles in O(non-ref + columns).  Cross-validated against FilterIndex
+    by tests/test_fused_decode.py.
+    """
+
+    def __init__(self, pileup_engine, min_bq, min_mq, site_positions=None,
+                 extra_columns=None):
+        pe = pileup_engine
+        win = pe._win
+        assert win is not None and win.has_filter_data
+        assert (min_bq, min_mq) == (win.filt_min_bq, win.filt_min_mq)
+        self.pe = pe
+        need = list(site_positions or [])
+        if extra_columns:
+            need += list(extra_columns)
+        pe.ensure_sites(need, 0)
+        a = pe._finalize()
+        self.a = a
+
+        self.p0 = int(win.filt_start)
+        self.p1 = int(win.filt_end)
+        m = self.p1 - self.p0
+        self.col_mask = None
+
+        # ref token per column (sites' ref bases; dense from pe.ref_seq)
+        ref_lo = self.p0 - pe.ref_start
+        ref_arr = np.frombuffer(pe.ref_seq.encode("latin-1"), np.uint8)
+        self.ref_tok = np.full(m, 10, np.int16)
+        src_lo, src_hi = max(ref_lo, 0), min(ref_lo + m, len(ref_arr))
+        if src_hi > src_lo:
+            self.ref_tok[src_lo - ref_lo: src_hi - ref_lo] = \
+                _REF_TOK[ref_arr[src_lo:src_hi]]
+
+        # -- full-column rows at fetched (site) columns only ---------------
+        sel = ((a["mq"] >= min_mq) & (a["bq"] >= min_bq) & (a["code"] < 10))
+        sel_idx = np.nonzero(sel)[0]
+        rel = (a["pos"][sel_idx] - self.p0).astype(np.int64)
+        inb = (rel >= 0) & (rel < m)
+        sel_idx, rel = sel_idx[inb], rel[inb]
+        order = np.argsort(rel, kind="stable")
+        self.orig = sel_idx[order].astype(np.int32)
+        tab_depth = np.bincount(rel, minlength=m).astype(np.int64)
+        self.col_start = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(tab_depth)])
+
+        # -- site-independent state, computed ONCE per window (and, in the
+        # pipeline, on the decode-ahead worker: pipeline.build_chunk_views
+        # triggers win.filter_assembly() off the verdict critical path) ----
+        fa = win.filter_assembly()
+        self.depth = fa["depth"]
+        self._nonref_cnt = fa["nonref"]
+        self.col_ins = fa["col_ins"]
+        self.col_only_ref = fa["col_only_ref"]
+        self.cum_ins = fa["cum_ins"]
+        self.n_reads = max(int(win.n_reads), 1)
+        self.nr_pos = fa["nr_rel"].astype(np.int64) + self.p0
+        self.nr_read = fa["nr_read"]
+        self.nr_token = fa["nr_token"]
+        nr_ik = fa["nr_ik"].astype(np.int64)
+        nr_base = fa["nr_base"].astype(np.int64)
+        self.nr_bare_del = (nr_ik == _INDEL_NONE) & (nr_base >= 8)
+        self.T = fa["T"]
+        # C++ keys are rel-based; shift to the absolute-pos keying the
+        # shared col_token_count/co_exist kernels use
+        self.colkey = fa["ck_key"] + self.p0 * self.T
+        self.colkey_cnt = fa["ck_cnt"]
+        self.rse_pos = fa["rse_rel"] + self.p0
+        self.rse_read = fa["rse_read"]
+        self._read_flag = np.zeros(self.n_reads, bool)
+
+
+def _make_filter_index(pe, min_bq, min_mq, site_positions, extra_columns=None):
+    """WindowFilterIndex when the fused decode carries matching filter-view
+    data; classic FilterIndex (site-window entry fetch) otherwise."""
+    win = getattr(pe, "_win", None)
+    if (win is not None and win.has_filter_data
+            and (min_bq, min_mq) == (win.filt_min_bq, win.filt_min_mq)):
+        return WindowFilterIndex(pe, min_bq, min_mq,
+                                 site_positions=site_positions,
+                                 extra_columns=extra_columns)
+    if extra_columns and getattr(pe, "_win", None) is not None:
+        pe.ensure_sites(extra_columns, 0)
+    return FilterIndex(pe, min_bq, min_mq, site_positions=site_positions)
+
+
 class HardFilterEngine:
     """Runs the no-phasing verdict set against a PileupEngine entry table."""
 
     def __init__(self, pileup_engine, min_bq=cfg.MIN_BQ, min_mq=cfg.MIN_MQ,
                  max_co_exist_read_num=2,
                  disable_read_start_end_filtering=False,
-                 site_positions=None):
-        """Defaults pin the reference driver's postfilter invocation:
+                 site_positions=None, fisher=None):
+        """fisher: strand-bias test callable (default fisher_exact;
+        fisher_exact_reference for --exact_reference_fisher parity).
+
+        Defaults pin the reference driver's postfilter invocation:
         --min-BQ param.min_bq=0 and --min_alt_coverage 2
         (postfilter_variants.py:795-801; run_clairs_to passes neither).
         Verified by tests/test_golden_filters.py.
@@ -572,8 +723,9 @@ class HardFilterEngine:
         self.min_mq = min_mq
         self.max_co_exist = max_co_exist_read_num
         self.disable_rse = disable_read_start_end_filtering
-        self.ix = FilterIndex(pileup_engine, min_bq, min_mq,
-                              site_positions=site_positions)
+        self.fisher = fisher or fisher_exact
+        self.ix = _make_filter_index(pileup_engine, min_bq, min_mq,
+                                     site_positions)
 
     def verdict(self, pos0, ref_base, alt_base):
         """Run the four verdicts for a call at 0-based pos0."""
@@ -608,7 +760,7 @@ class HardFilterEngine:
         all1 = int(rev.sum())
         r0, r1 = len(reads) - all1 - a0, all1 - a1
         v.strand_table = ((a0, r0), (a1, r1))
-        v.strand_bias_p = fisher_exact([[a0, r0], [a1, r1]])
+        v.strand_bias_p = self.fisher([[a0, r0], [a1, r1]])
         if v.strand_bias_p < 0.001:
             v.pass_strand_bias = False
 

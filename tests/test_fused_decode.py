@@ -36,12 +36,19 @@ def _engines(d, platform):
         bam, ctg, 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG)
     pe_old = PileupEngine.from_entry_table(table, ref_seq, 0, platform=platform)
     sr = native.BamStreamReader(bam)
+    from clairs_to_tpu.postcall.hardfilter import _REF_TOK
+
+    ref_tok = np.full(L + 2 * native.FILT_MARGIN, 10, np.int16)
+    ref_u8 = np.frombuffer(ref_seq.upper().encode("latin-1"), np.uint8)
+    ref_tok[native.FILT_MARGIN : native.FILT_MARGIN + L] = _REF_TOK[ref_u8]
     win = sr.load_window_reduced(
         ctg, 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
         aff_min_bq=aff_bq, low_mq_thresh=cfg.LOW_MQ_THRESHOLD,
         low_bq_thresh=cfg.LOW_BQ_THRESHOLD.get(fam, 10),
-        max_indel_length=cfg.MAX_INDEL_LENGTH)
+        max_indel_length=cfg.MAX_INDEL_LENGTH,
+        filter_view=(ref_tok, cfg.MIN_BQ, cfg.MIN_MQ))
     assert win is not None
+    assert win.has_filter_data
     pe_new = PileupEngine.from_native_window(win, ref_seq, 0, platform=platform)
     return pe_old, pe_new, L, aff_bq, sr
 

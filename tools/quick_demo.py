@@ -26,7 +26,67 @@ ap.add_argument("--include_indels", action="store_true",
                 help="Also simulate somatic indels and benchmark indel.vcf "
                      "(long-read platforms; the reference calls indels for "
                      "ont/hifi only by default).")
+ap.add_argument("--real", action="store_true",
+                help="Dry-run the REAL HCC1395 quick-demo command plan "
+                     "(docs/REAL_DATA.md): print the download/run/compare "
+                     "commands for the chosen platform and validate that "
+                     "the run command parses. No network is touched.")
 a = ap.parse_args()
+
+if a.real:
+    import shlex
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    D = os.path.expanduser("~/clairs_to_tpu_demo")
+    plat_data = {
+        "ont": ("ont", "HCC1395_tumor_chr17_demo.bam",
+                "ont_r10_guppy_sup_4khz"),
+        "ilmn": ("ilmn", "HCC1395_tumor_chr17_demo.bam", "ilmn"),
+        "hifi": ("hifi", "HCC1395_tumor_chr17_demo.bam", "hifi_revio"),
+    }[a.platform]
+    sub, bam, plat = plat_data
+    base = "http://www.bio8.cs.hku.hk/clairs/quick_demo"
+    downloads = [
+        f"wget -P {D} -nc {base}/ilmn/SEQC2_high-confidence_sSNV_in_HC_regions_v1.2_chr17.vcf.gz",
+        f"wget -P {D} -nc {base}/ilmn/SEQC2_high-confidence_sSNV_in_HC_regions_v1.2_chr17.vcf.gz.tbi",
+        f"wget -P {D} -nc {base}/ilmn/SEQC2_High-Confidence_Regions_v1.2_chr17.bed",
+        f"wget -P {D} -nc {base}/{sub}/GRCh38_no_alt_chr17.fa",
+        f"wget -P {D} -nc {base}/{sub}/GRCh38_no_alt_chr17.fa.fai",
+        f"wget -P {D} -nc {base}/{sub}/{bam}",
+        f"wget -P {D} -nc {base}/{sub}/{bam}.bai",
+    ]
+    run_argv = [
+        "-T", f"{D}/{bam}", "-R", f"{D}/GRCh38_no_alt_chr17.fa",
+        "-o", f"{D}/output", "-t", "4", "-p", plat,
+        "-r", "chr17:80000000-80100000",
+    ]
+    compare_argv = [
+        "--truth_vcf_fn",
+        f"{D}/SEQC2_high-confidence_sSNV_in_HC_regions_v1.2_chr17.vcf.gz",
+        "--input_vcf_fn", f"{D}/output/snv.vcf.gz",
+        "--bed_fn", f"{D}/SEQC2_High-Confidence_Regions_v1.2_chr17.bed",
+        "--output_dir", f"{D}/output/benchmark",
+        "--input_filter_tag", "PASS", "--ctg_name", "chr17",
+        "--ctg_start", "80000000", "--ctg_end", "80100000",
+    ]
+    # validate the run command against the real parser (dry)
+    from clairs_to_tpu.cli.run import build_parser
+
+    build_parser().parse_args(run_argv)
+    print(f"# REAL-DATA PLAN ({a.platform}) — docs/REAL_DATA.md")
+    print(f"mkdir -p {D}")
+    for c in downloads:
+        print(c)
+    print("python -m clairs_to_tpu run " +
+          " ".join(shlex.quote(x) for x in run_argv))
+    print("python -m clairs_to_tpu compare_vcf " +
+          " ".join(shlex.quote(x) for x in compare_argv))
+    expected = {"ont": "F1 0.9655 (28 TP, 1 FP, 1 FN)",
+                "hifi": "F1 0.9655 (28 TP, 1 FP, 1 FN)",
+                "ilmn": "F1 0.9831 (29 TP, 1 FP, 0 FN)"}[a.platform]
+    print(f"# expected: {expected}  (reference committed table)")
+    sys.exit(0)
 
 if a.cpu:
     os.environ["JAX_PLATFORMS"] = "cpu"
