@@ -1440,8 +1440,12 @@ inline void accum_entry(ReduceOut& o, int64_t rel, int c, int bq, int mq,
                         int hp, int ikind, int ilen, const char* seq) {
   if (c >= 10 && ikind == 0) return;  // pure N consumes nothing in any view
   bool aff_ok = bq >= o.aff_bq;
+  // NEG = AFF + low-bq delta on every additive channel: entries passing
+  // the AFF bq gate accumulate once, the final reduce adds aff into neg
+  // (the I1/i1/D1/d1 max channels are zero until the hash flush, which
+  // writes both views from its per-cell counts — so the add is exact)
   if (aff_ok) accum_tensor(o, o.aff, o.aff_depth, rel, c, bq, mq, hp, ikind, ilen);
-  if (o.dual) accum_tensor(o, o.neg, o.neg_depth, rel, c, bq, mq, hp, ikind, ilen);
+  else if (o.dual) accum_tensor(o, o.neg, o.neg_depth, rel, c, bq, mq, hp, ikind, ilen);
   if (ikind != 0 && mq >= o.low_mq && (aff_ok || o.dual)) {
     bool is_ins = ikind == 1;
     bool ok = is_ins ? (ilen <= o.max_indel) : (ilen + 1 <= o.max_indel);
@@ -1614,6 +1618,14 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
   bool rev = v.flag & FLAG_REVERSE;
   int64_t ref_pos = v.pos;
   int qpos = 0;
+  // one resolved qual pointer (zeros for the 0xFF missing-qual sentinel)
+  thread_local std::vector<uint8_t> zero_q;
+  const uint8_t* q_orig = v.qual;
+  if (!q_orig) {
+    if ((int)zero_q.size() < v.l_seq) zero_q.assign(v.l_seq, 0);
+    q_orig = zero_q.data();
+  }
+  const uint8_t* q_eff = adj_qual ? adj_qual : q_orig;
   int64_t first_pos = -1, last_pos = -1;
   if (h && h->filt_depth) read_span_marks(v, &first_pos, &last_pos);
   const int64_t fstart = h ? h->fstart : 0, fend = h ? h->fend : 0;
@@ -1649,9 +1661,7 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
       pend.ilen = 0;
     }
   };
-  auto eff_q = [&](int i) -> int {
-    return adj_qual ? adj_qual[i] : rec_qual(v, i);
-  };
+  const bool filt_on = h && h->filt_depth;
   for (int i = 0; i < v.n_cigar; i++) {
     int op = v.cigar[i] & 0xF;
     int ln = v.cigar[i] >> 4;
@@ -1662,18 +1672,17 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
       flush();
       for (int k = 0; k < ln - 1; k++) {
         int64_t p = ref_pos + k;
-        char b = rec_base(v, qpos + k);
-        int c = base_code(b, rev);
-        int q = eff_q(qpos + k);
+        int c = base_code(rec_base(v, qpos + k), rev);
+        int q = q_eff[qpos + k];
         if (p >= start && p < end)
           accum_entry(o, p - start, c, q, v.mapq, hp, 0, 0, nullptr);
-        if (p >= fstart && p < fend && h && h->filt_depth)
+        if (filt_on && p >= fstart && p < fend)
           filt_accum(h, p, c, q, v.mapq, 0, 0, nullptr, rid,
                      p == first_pos, p == last_pos);
       }
       if (ln > 0) {
-        char b = rec_base(v, qpos + ln - 1);
-        push(ref_pos + ln - 1, base_code(b, rev), eff_q(qpos + ln - 1));
+        push(ref_pos + ln - 1, base_code(rec_base(v, qpos + ln - 1), rev),
+             q_eff[qpos + ln - 1]);
       }
       ref_pos += ln;
       qpos += ln;
@@ -1697,7 +1706,7 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
       // placeholder bq = next aligned base's ORIGINAL quality (overlap
       // adjustment never touches placeholders in the entry-table path)
       int nxt = qpos < v.l_seq ? qpos : (v.l_seq ? v.l_seq - 1 : 0);
-      int del_bq = v.l_seq ? rec_qual(v, nxt) : 0;
+      int del_bq = v.l_seq ? q_orig[nxt] : 0;
       int code = rev ? CODE_DEL_REV : CODE_DEL_FWD;
       for (int k = 0; k < ln; k++) push(ref_pos + k, code, del_bq);
       ref_pos += ln;
@@ -1890,6 +1899,13 @@ void* pileup_window_reduce(
     if (it != h->adj_quals.end()) adj = it->second.data();
     reduce_record(o, v, adj, start, end, hp, h, (int)n_reads);
     n_reads++;
+  }
+  if (dual) {
+    // fold the AFF view into the NEG delta (additive channels only; the
+    // max channels are still zero here — see accum_entry)
+    const int64_t total = L * o.nchan;
+    for (int64_t i = 0; i < total; i++) neg_counts[i] += aff_counts[i];
+    for (int64_t i = 0; i < L; i++) neg_depth[i] += aff_depth[i];
   }
   // distinct-seq max channels (I1/i1/D1/d1)
   for (size_t i = 0; i <= o.ih.msk; i++)

@@ -91,6 +91,10 @@ class CandidateInfo:
     pass_snv: bool
     pass_indel: bool
     alt_list: list        # [(entry_str_upper, count)] sorted desc, ref excluded
+    # pileup_dict items sorted by count desc (ref INCLUDED) — the
+    # reference's pileup_list, feeding the --alt_fn af_infos column
+    # (extract_candidates_calling.py:351-355)
+    pileup_list: list = None
 
 
 class PileupEngine:
@@ -927,6 +931,7 @@ class PileupEngine:
             info = CandidateInfo(
                 pos=p, depth=depth, alt_info="", af=af,
                 pass_snv=pass_snv, pass_indel=pass_indel, alt_list=alt_list,
+                pileup_list=plist,
             )
             infos[p] = info
             if pass_snv:

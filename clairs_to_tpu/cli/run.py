@@ -771,18 +771,27 @@ def _pipeline_body(args, metrics, t0, tee):
         print(f"[INFO] Host {process_index}/{process_count}: owns "
               f"{len(chunks)}/{len(all_chunks)} chunks")
 
-    import jax
-
-    from clairs_to_tpu.infer.engine import make_mesh
-
-    local_devices = jax.local_devices()
-    n_dev = min(args.device_count or len(local_devices), len(local_devices))
-    mesh = make_mesh(local_devices[:n_dev]) if n_dev > 1 else None
-    if mesh is not None:
-        print(f"[INFO] Data-parallel mesh over {n_dev} local "
-              f"{local_devices[0].platform} devices")
-
     call_indels = not _str2bool(args.disable_indel_calling)
+
+    def _init_backend():
+        """First backend-client creation pays the (tunneled) device
+        handshake (measured ~10s, server-side) — deferred until AFTER the
+        decode prefetch has started so it overlaps the first chunk's host
+        work instead of serializing in front of everything.  Timed as its
+        own stage for server-vs-framework startup attribution."""
+        import jax
+
+        from clairs_to_tpu.infer.engine import make_mesh
+
+        with metrics.stage("backend_init"):
+            local_devices = jax.local_devices()
+        n_dev = min(args.device_count or len(local_devices),
+                    len(local_devices))
+        mesh = make_mesh(local_devices[:n_dev]) if n_dev > 1 else None
+        if mesh is not None:
+            print(f"[INFO] Data-parallel mesh over {n_dev} local "
+                  f"{local_devices[0].platform} devices")
+        return mesh
 
     def _load_and_warm_engines():
         """Engine build + AOT load + one zero-batch warmup (the first
@@ -790,6 +799,7 @@ def _pipeline_body(args, metrics, t0, tee):
         load on the tunneled TPU).  Called AFTER the chunk-decode prefetch
         starts, so the first chunk's multi-GB arena fault-in (the other big
         cold cost) overlaps the engine wait instead of serializing with it."""
+        mesh = _init_backend()
         with metrics.stage("load_engines"):
             snv_e, indel_e = load_engines(args, mesh=mesh)
             for _eng in (snv_e, indel_e):

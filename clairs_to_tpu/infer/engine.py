@@ -70,12 +70,12 @@ def recover_strand_counts(aff_raw_center):
     """
     out = []
     for sl in (slice(0, 4), slice(9, 13)):
-        block = np.asarray(aff_raw_center[:, sl], dtype=np.float64).copy()
-        neg_rows = (block < 0).any(axis=1)
-        row_sums = block[neg_rows].sum(axis=1)
-        fixed = block.copy()
-        for (r, s) in zip(np.where(neg_rows)[0], row_sums):
-            fixed[r][block[r] < 0] = -s
+        block = np.asarray(aff_raw_center[:, sl], dtype=np.float64)
+        # every negative entry in a row becomes -(row sum) — vectorized
+        # (the reference fixes one negative per row; rows without one pass
+        # through unchanged because the where mask is empty there)
+        row_sums = block.sum(axis=1)
+        fixed = np.where(block < 0, -row_sums[:, None], block)
         out.append(np.rint(fixed).astype(np.int64))
     return out[0], out[1]
 
@@ -234,15 +234,26 @@ class InferenceEngine:
         """
         n = x_aff.shape[0]
         if n > self.device_batch:
-            parts = [
-                self.run_batch(
-                    x_aff[i : i + self.device_batch],
-                    x_neg[i : i + self.device_batch],
-                    cov_aff[i : i + self.device_batch],
-                    cov_neg[i : i + self.device_batch],
-                )
-                for i in range(0, n, self.device_batch)
-            ]
+            # software pipeline: DISPATCH every fixed-shape slice first (jax
+            # dispatch and device_put are async), then consume in order — the
+            # host's f64 posterior + transfers of slice k overlap the device
+            # compute of slices k+1.., instead of ping-ponging (the round-3
+            # profile's per-slice serialization on the tunneled chip)
+            handles = []
+            for i in range(0, n, self.device_batch):
+                sl = slice(i, i + self.device_batch)
+                ni = min(self.device_batch, n - i)
+                xa = self._put(self._pad(np.asarray(x_aff[sl], np.float32)))
+                xn = self._put(self._pad(np.asarray(x_neg[sl], np.float32)))
+                ca = self._put(self._pad(np.asarray(cov_aff[sl], np.float32),
+                                         value=1))
+                cn = self._put(self._pad(np.asarray(cov_neg[sl], np.float32),
+                                         value=1))
+                pa, pn = self._forward(
+                    self.aff_params, self.neg_params, xa, xn, ca, cn)
+                handles.append((ni, sl, pa, pn))
+            parts = [self._consume(ni, x_aff[sl], pa, pn)
+                     for (ni, sl, pa, pn) in handles]
             return BatchResult(
                 p_aff=np.concatenate([p.p_aff for p in parts]),
                 p_neg=np.concatenate([p.p_neg for p in parts]),
@@ -257,13 +268,17 @@ class InferenceEngine:
         probs_aff, probs_neg = self._forward(
             self.aff_params, self.neg_params, xa, xn, ca, cn
         )
+        return self._consume(n, x_aff, probs_aff, probs_neg)
+
+    def _consume(self, n, x_aff_slice, probs_aff, probs_neg) -> BatchResult:
         # the reference round-trips probabilities through '%.8f' text between
         # predict and call_variants (predict.py:121-132); match that rounding
         # so the float64 posterior sees identical inputs
         p_aff = np.round(np.asarray(probs_aff, np.float64)[:n, :, 1], 8)
         p_neg = np.round(np.asarray(probs_neg, np.float64)[:n, :, 1], 8)
         posterior = post.posterior_probs_np(p_aff, p_neg, self.likelihood)
-        fwd, rev = recover_strand_counts(np.asarray(x_aff)[:, cfg.FLANKING_BASE_NUM, :])
+        fwd, rev = recover_strand_counts(
+            np.asarray(x_aff_slice)[:, cfg.FLANKING_BASE_NUM, :])
         return BatchResult(
             p_aff=p_aff,
             p_neg=p_neg,

@@ -256,23 +256,34 @@ class CallingPipeline:
                 f.write("\t".join(cols) + "\n")
 
     def _dump_alt_fn(self, chunk, positions, infos):
-        """extract_candidates_calling.py:314-355 --alt_fn debug dump.
-
-        One row per passing candidate: ctg pos ref [depth] [alt-count list,
-        'entry:count' pileup infos] — positions 1-based as in the reference's
-        mpileup rows."""
+        """extract_candidates_calling.py:352-355 --alt_fn debug dump,
+        byte-compatible: per passing candidate
+        ``ctg<TAB>pos<TAB>ref[<TAB>depth][<TAB>af_infos<TAB>pileup_infos
+        <TAB>tumor_pileup_infos]`` — af_infos is the comma-joined rounded
+        AF of every non-ref pileup_list key, pileup_infos the space-joined
+        ``KEY:af`` of the uppercased alt entries, tumor_pileup_infos empty
+        outside tumor-labelled paths (so the row keeps its trailing tab,
+        as the reference's '\t'.join of the 3-element list does).
+        Positions are 1-based mpileup coordinates."""
         with open(self.opt.alt_fn, "a") as f:
             for p in positions:
                 info = infos.get(p)
                 if info is None:
                     continue
-                cols = [chunk.ctg_name, str(p + 1),
-                        self._ref_base_of(chunk, p)]
+                rb = self._ref_base_of(chunk, p)
+                denom = info.depth if info.depth > 0 else 1
+                cols = [chunk.ctg_name, str(p + 1), rb]
                 if self.opt.output_depth:
                     cols.append(str(info.depth))
                 if self.opt.output_alt_info:
-                    cols.append(",".join(str(c) for _k, c in info.alt_list))
-                    cols.append(" ".join(f"{k}:{c}" for k, c in info.alt_list))
+                    af_infos = ",".join(
+                        str(round(c / denom, 3))
+                        for (k, c) in (info.pileup_list or [])
+                        if k != rb)
+                    pileup_infos = " ".join(
+                        f"{k}:{round(c / denom, 3)}"
+                        for (k, c) in info.alt_list)
+                    cols += [af_infos, pileup_infos, ""]
                 f.write("\t".join(cols) + "\n")
 
     def _ref_base_of(self, chunk, pos):
@@ -360,7 +371,10 @@ class CallingPipeline:
                 if opt.indel_bed_tree.is_region_in(chunk.ctg_name, p, p + 1)
             ]
         if opt.alt_fn and opt.genotyping_mode != "genotyping":
-            self._dump_alt_fn(chunk, sorted(set(snv_pos) | set(indel_pos)), infos)
+            # the reference writes EVERY pass_af position — including ones
+            # the candidate sets later drop for lacking a matching alt
+            # entry (extract_candidates_calling.py:352-363)
+            self._dump_alt_fn(chunk, sorted(infos), infos)
 
         result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
 

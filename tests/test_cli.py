@@ -96,9 +96,14 @@ def test_cli_alt_fn_and_skip_steps(dataset, tmp_path):
     rows = [l.rstrip("\n").split("\t") for l in open(alt_fn)]
     assert rows, "alt_fn dump is empty"
     for cols in rows:
-        assert len(cols) == 6  # ctg pos ref depth af_infos pileup_infos
+        # ctg pos ref depth af_infos pileup_infos tumor_pileup_infos —
+        # the reference's 7-column row incl. the trailing empty tumor
+        # column (extract_candidates_calling.py:352-355); byte-level
+        # parity is pinned by tests/test_reference_decoder_oracle.py
+        assert len(cols) == 7
         assert cols[0] == "chrS" and int(cols[1]) >= 1 and cols[2] in "ACGT"
         assert int(cols[3]) > 0
+        assert cols[6] == ""
     # --skip_steps validates indices and enables per-chunk resume
     with pytest.raises(SystemExit):
         cli_main(argv + ["--skip_steps", "0,x"])

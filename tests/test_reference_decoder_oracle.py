@@ -245,3 +245,53 @@ def test_candidate_decoder_oracle(fuzz_setup):
     assert n_checked > 2000
     assert got_snv == set(snv_pos)
     assert got_indel == set(indel_pos)
+
+
+def test_alt_fn_dump_byte_compat(fuzz_setup, tmp_path):
+    """--alt_fn dump vs the row the reference itself would write
+    (extract_candidates_calling.py:352-355): for every pass_af position,
+    ``ctg<TAB>pos<TAB>ref<TAB>depth<TAB>af_infos<TAB>pileup_infos<TAB>``
+    with af_infos/pileup_infos taken from the EXECUTED reference decoder —
+    byte equality, trailing empty tumor column included."""
+    _ctp, ecc = _import_reference_decoders()
+    pe, genome, L = fuzz_setup
+    min_bq = 20
+
+    # our dump through the production pipeline surface
+    from clairs_to_tpu.infer.pipeline import CallingPipeline, PipelineOptions
+
+    class _Chunk:
+        ctg_name = "chrF"
+
+    opt = PipelineOptions(platform="ont", alt_fn=str(tmp_path / "alt.tsv"),
+                          output_depth=True, output_alt_info=True,
+                          select_indel_candidates=True)
+    pipe = CallingPipeline.__new__(CallingPipeline)
+    pipe.opt = opt
+    pipe._views_memo = {}
+    pipe.fasta = None
+    snv_pos, indel_pos, infos = pe.find_candidates(
+        0, L, min_bq=min_bq, select_indel_candidates=True)
+    # _ref_base_of falls back to fasta when no memoized views; give it one
+    pipe._views_memo[_Chunk] = (pe, None, None, 0, L)
+    pipe._dump_alt_fn(_Chunk, sorted(infos), infos)
+    with open(opt.alt_fn) as f:
+        ours = f.read().splitlines()
+
+    # the reference's own rows, from its executed decoder
+    want = []
+    for p in sorted(infos):
+        rb = genome[p]
+        entries = [e for e in column_views(pe, p) if e[2] >= cfg.MIN_MQ]
+        s, mqs, bqs = render_column(entries, min_bq)
+        (_bl, depth, pass_af, _af, af_infos, pileup_infos, tumor_pi,
+         _alt, _ps, _pi2, _pl) = ecc.decode_pileup_bases(
+            s, rb, cfg.MIN_COVERAGE, 0.05, 0.05,
+            cfg.ALTERNATIVE_BASE_NUM, False, ["x"] * len(mqs), False,
+            select_indel_candidates=True, platform="ont")
+        assert pass_af, p
+        want.append("\t".join(["chrF", str(p + 1), rb, str(depth),
+                               af_infos, pileup_infos, tumor_pi]))
+    assert len(ours) == len(want)
+    for o, w in zip(ours, want):
+        assert o == w, (o, w)

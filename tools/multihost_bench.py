@@ -58,10 +58,11 @@ def base_argv(out_dir):
     ]
 
 
-def run_proc(argv, env):
+def run_proc(argv, env, cpu=None):
     t0 = time.time()
+    prefix = ["taskset", "-c", str(cpu)] if cpu is not None else []
     r = subprocess.run(
-        [sys.executable, "-m", "clairs_to_tpu", "run", *argv],
+        [*prefix, sys.executable, "-m", "clairs_to_tpu", "run", *argv],
         env=env, cwd="/root/repo", capture_output=True, text=True,
         timeout=3600)
     wall = time.time() - t0
@@ -74,12 +75,21 @@ def main():
     build()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # 1 core per process EVERYWHERE (XLA intra-op, BLAS, OMP): efficiency
+    # must compare equal per-process resources — without this, XLA-CPU and
+    # BLAS in each process grab both cores of this 2-CPU box and the
+    # 2-process run measures oversubscription, not scaling
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=1 "
+                        "--xla_cpu_multi_thread_eigen=false")
+    env["OMP_NUM_THREADS"] = "1"
+    env["OPENBLAS_NUM_THREADS"] = "1"
+    env["MKL_NUM_THREADS"] = "1"
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
 
-    # ---- single process ------------------------------------------------
+    # ---- single process (pinned to one core, like each member of the
+    # 2-process run — the per-host resource unit being scaled) ----------
     out1 = os.path.join(WORK, "out_single")
-    r, wall1, sum1 = run_proc(base_argv(out1), env)
+    r, wall1, sum1 = run_proc(base_argv(out1), env, cpu=0)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     t1_call = sum1["stages"]["calling"]
     cands = sum1["counters"]["candidates"]
@@ -97,7 +107,8 @@ def main():
             "--coordinator_address", f"127.0.0.1:{port}",
             "--num_processes", "2", "--process_id", str(pid)]
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "clairs_to_tpu", "run", *argv],
+            ["taskset", "-c", str(pid), sys.executable, "-m",
+             "clairs_to_tpu", "run", *argv],
             env=env, cwd="/root/repo", stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     texts = []
@@ -145,7 +156,9 @@ def main():
         "merged_vcf_identical_to_single": identical,
         "note": "efficiency = T1_calling / (2 * max per-proc T_calling); "
                 "static round-robin chunk ownership "
-                "(run_clairs_to:553-561 analog)",
+                "(run_clairs_to:553-561 analog); every process pinned to "
+                "one core with 1-thread XLA/BLAS so the 2-CPU build box "
+                "measures scaling, not oversubscription",
     }
     with open("/root/repo/MULTIHOST_r04.json", "w") as f:
         json.dump(result, f, indent=1)
