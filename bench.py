@@ -233,21 +233,19 @@ def main():
     build_workload()
     host = host_state()
     cands, call_cold, total_cold, _, _ = run_cli("cold")
-    # TWO consecutive warm e2e runs: the steady figure is the MEDIAN-free
-    # min/max pair so a transient host stall cannot masquerade as the
-    # result, and the two runs must agree (round-3 verdict item 2)
-    cands2, call_warm, total_warm, stages, chunk_rates = run_cli("warm")
-    cands3, call_warm2, total_warm2, stages2, chunk_rates2 = run_cli("warm2")
-    calls = sorted([call_warm, call_warm2])
-    steady_runs = [cands2 / call_warm if call_warm > 0 else 0.0,
-                   cands3 / call_warm2 if call_warm2 > 0 else 0.0]
-    # conservative headline: the SLOWER of the two warm runs (stages and
-    # timings reported from that same run)
-    steady = min(steady_runs)
-    if steady_runs[1] < steady_runs[0]:
-        stages, chunk_rates = stages2, chunk_rates2
-        call_warm, total_warm = call_warm2, total_warm2
-        cands2 = cands3
+    # THREE consecutive warm e2e runs (round-3 verdict item 2: min/median
+    # + host preamble).  Headline = MEDIAN: this host-ballooned VM steals
+    # CPU in multi-second episodes (measured: identical runs 2035 vs
+    # 1178 cand/s with nothing else running), so a single slow run is
+    # host state, not the framework; min and all three rates are reported
+    # alongside so nothing is hidden.
+    runs = [run_cli(f"warm{i}") for i in range(3)]
+    steady_runs = [(c / cw if cw > 0 else 0.0, c, cw, tw, st, cr)
+                   for (c, cw, tw, st, cr) in runs]
+    steady_runs.sort(key=lambda r: r[0])
+    med = steady_runs[1]
+    steady = med[0]
+    _, cands2, call_warm, total_warm, stages, chunk_rates = med
     last_c, last_s = chunk_rates[-1] if chunk_rates else (0, 1.0)
     steady_chunk = last_c / last_s if last_s > 0 else 0.0
     sweep = measure_parity_path()
@@ -269,10 +267,11 @@ def main():
         "warm_total_s": round(total_warm, 1),
         "warm_startup_s": round(total_warm - call_warm, 1),
         "steady_calling_s": round(call_warm, 2),
-        "warm_runs_cand_per_sec": [round(x, 1) for x in steady_runs],
+        "warm_runs_cand_per_sec": [round(r[0], 1) for r in steady_runs],
+        "warm_min_cand_per_sec": round(steady_runs[0][0], 1),
         "warm_spread_pct": round(
-            100.0 * abs(steady_runs[0] - steady_runs[1])
-            / max(max(steady_runs), 1e-9), 1),
+            100.0 * (steady_runs[-1][0] - steady_runs[0][0])
+            / max(steady_runs[-1][0], 1e-9), 1),
         "host_state": host,
         "steady_stages": {k: round(v, 2) for k, v in stages.items()},
         "steady_chunk_candidates_per_sec": round(steady_chunk, 1),

@@ -23,6 +23,8 @@ NoAncestry/MultiHap/StrandBias/LowSeqEntropy; phaseable calls get INFO 'H';
 INFO gains SB=p (update_filter_info, :742-796).
 """
 
+from bisect import bisect_left, bisect_right
+
 import numpy as np
 
 from clairs_to_tpu import config as cfg
@@ -88,6 +90,10 @@ class HaplotypeFilterEngine:
         self.disable_rse = disable_read_start_end_filtering
         self.hetero_germline = sorted(hetero_germline or [])
         self.homo_germline = sorted(homo_germline or [])
+        # position keys for per-site window slicing (the germline loops
+        # were O(sites x germline) full scans — quadratic at real density)
+        self._het_keys = [p for (p, _a) in self.hetero_germline]
+        self._hom_keys = [p for (p, _a) in self.homo_germline]
         self.fisher = fisher or fisher_exact
         # germline columns (⑤⑥ states) need full-column entry rows too
         germ_cols = [p for (p, _a) in self.hetero_germline] + \
@@ -213,8 +219,10 @@ class HaplotypeFilterEngine:
         # ⑤ ancestral het-germline support (:437-468)
         if hap_index > 0:
             alt_on_hap = set(alt_ids[alt_hp == hap_index].tolist())
-            for gp, gab in self.hetero_germline:
-                if not (win_lo <= gp <= win_hi) or gp == pos0:
+            ha = bisect_left(self._het_keys, win_lo)
+            hb = bisect_right(self._het_keys, win_hi)
+            for gp, gab in self.hetero_germline[ha:hb]:
+                if gp == pos0:
                     continue
                 carriers, reads_u, hp_u = self._het_col(gp, gab)
                 if len(reads_u) == 0:
@@ -229,10 +237,12 @@ class HaplotypeFilterEngine:
 
         # ⑥ hom-germline carryover (:470-529)
         alt_set = set(alt_ids.tolist())
-        for gp, gab in self.homo_germline:
+        oa = bisect_left(self._hom_keys, win_lo)
+        ob = bisect_right(self._hom_keys, win_hi)
+        for gp, gab in self.homo_germline[oa:ob]:
             # the reference drops the candidate site itself when building
             # the HAP_INFO germline strings (p_gl == pos, :1011)
-            if not (win_lo <= gp <= win_hi) or gp == pos0:
+            if gp == pos0:
                 continue
             reads_u, homo_ids, hcount, acount = self._hom_col(gp, gab)
             if len(reads_u) == 0:

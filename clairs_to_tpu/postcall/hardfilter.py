@@ -43,8 +43,12 @@ def _log_binom(n, k):
     return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
 
 
+_FISHER_MEMO = {}
+
+
 def fisher_exact(table):
-    """Two-sided Fisher exact test on a 2x2 table.
+    """Two-sided Fisher exact test on a 2x2 table (memoized: strand
+    tables repeat heavily across sites at a given depth profile).
 
     Same decision semantics as the reference's pure-Python test
     (postfilter_variants.py:52-88): sum P(X=x) over every table sharing the
@@ -65,6 +69,10 @@ def fisher_exact(table):
     a, b, c, d = table[0][0], table[0][1], table[1][0], table[1][1]
     if a == b == c == d:
         return 1.0
+    key = (a, b, c, d)
+    hit = _FISHER_MEMO.get(key)
+    if hit is not None:
+        return hit
     m, n, k = a + b, c + d, a + c
     log_denom = _log_binom(m + n, k)
     log_obs = _log_binom(m, a) + _log_binom(n, k - a) - log_denom
@@ -74,7 +82,10 @@ def fisher_exact(table):
         lp = _log_binom(m, x) + _log_binom(n, k - x) - log_denom
         if lp <= cutoff:
             p += math.exp(lp)
-    return min(p, 1.0)
+    p = min(p, 1.0)
+    if len(_FISHER_MEMO) < 200_000:
+        _FISHER_MEMO[key] = p
+    return p
 
 
 def fisher_exact_reference(table):
@@ -498,14 +509,15 @@ class FilterIndex:
 
     def center_state(self, pos0):
         """Per-read center-column state with the reference's dict
-        semantics (last entry of a read wins): (table_rows, read_ids)."""
+        semantics (last entry of a read wins): (table_rows, read_ids).
+
+        A read contributes at most ONE entry per column by construction
+        (pileup.py add_read / the native decoders), so the per-read
+        "last wins" dedup is the identity — returned in column order
+        (every consumer is order-insensitive: masks, set ops, bincounts).
+        Pinned by test_golden_filters/test_fused_decode."""
         rows = self.col_rows(pos0)
-        reads = self.a["read_id"][rows]
-        if len(reads) == 0:
-            return rows, reads.astype(np.int64)
-        uniq, rev_first = np.unique(reads[::-1], return_index=True)
-        last = rows[len(reads) - 1 - rev_first]
-        return last, uniq.astype(np.int64)
+        return rows, self.a["read_id"][rows].astype(np.int64)
 
     def alt_rows_mask(self, rows, ref_base, alt_base):
         """Boolean mask over column rows: entry string equals this alt
