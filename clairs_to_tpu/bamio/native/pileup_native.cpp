@@ -467,11 +467,13 @@ struct RawRecord {
 struct BamStream {
   BgzfReader* reader = nullptr;
   std::vector<std::string> ref_names;
+  std::string bam_path;
   // decoded, not yet consumed past their end; shared_ptr so a WindowHandle
   // (the fused-reduce path) can retain a window's records across the
   // stream's advance to the next window (decode-ahead prefetch)
   std::deque<std::shared_ptr<RawRecord>> buffer;
   bool eof = false;
+  bool started = false;  // any record decoded yet (gates the BAI fast-seek)
   ~BamStream() { delete reader; }
 };
 
@@ -574,6 +576,16 @@ struct PendingWindow {
 // windows and the fused-reduce path.
 void select_window_records(BamStream* s, int rid, int64_t start, int64_t end,
                            std::vector<std::shared_ptr<RawRecord>>* out) {
+  // BAI fast-seek for the FIRST window: a region-restricted run
+  // (-r chr17:...) or a late contig would otherwise BGZF-inflate the
+  // whole file prefix sequentially (pileup_load already seeks; the
+  // stream now does too, once, before any record is decoded)
+  if (!s->started) {
+    s->started = true;
+    std::string bai = s->bam_path + ".bai";
+    uint64_t voff = bai_min_voffset(bai.c_str(), rid, start, end);
+    if (voff != UINT64_MAX && voff > 0) s->reader->seek_virtual(voff);
+  }
   while (!s->buffer.empty() &&
          (s->buffer.front()->ref_id < rid ||
           (s->buffer.front()->ref_id == rid && s->buffer.front()->end <= start)))
@@ -608,6 +620,7 @@ extern "C" {
 // Open a persistent stream over a coordinate-sorted BAM.
 void* pileup_open_stream(const char* bam_path) {
   auto* s = new BamStream();
+  s->bam_path = bam_path;
   s->reader = new BgzfReader(bam_path);
   if (!s->reader->ok()) { delete s; return nullptr; }
   char magic[4];

@@ -883,6 +883,13 @@ def _pipeline_body(args, metrics, t0, tee):
     )
 
     options.precompute_filter_assembly = apply_hap_filter or apply_postfilter
+    # decode-ahead workers: one per spare physical core, capped (each holds
+    # its own native stream; BAI fast-seek keeps dynamic chunk assignment
+    # cheap). On this 2-CPU build box this resolves to 1 (the round-3
+    # loader/compute split); many-core production hosts fan out decode.
+    options.decode_workers = int(os.environ.get(
+        "CLAIRS_TO_TPU_DECODE_WORKERS",
+        max(1, min(args.threads - 1, (os.cpu_count() or 2) - 1, 4))))
     pipe = CallingPipeline(
         fasta, args.tumor_bam_fn, None, None, options,
         metrics=metrics,

@@ -70,6 +70,11 @@ class PipelineOptions:
     # (i.e. on the decode-ahead worker) so the verdict stage starts from
     # ready state; set by the CLI when a filter stage will run
     precompute_filter_assembly: bool = False
+    # decode-ahead worker threads (CLI: min(threads-1, 4)).  Each worker
+    # keeps its own native stream; a worker whose next window regresses
+    # reopens a fresh stream (BAI fast-seek), so dynamic chunk assignment
+    # across workers stays cheap on many-core hosts
+    decode_workers: int = 1
 
 
 @dataclass
@@ -99,7 +104,10 @@ class CallingPipeline:
         self.opt = options or PipelineOptions()
         self.metrics = metrics  # optional RunMetrics for sub-stage timing
         self._bam = None          # lazy: pure-Python fallback reader
-        self._stream = None       # native sequential-window stream
+        import threading as _threading
+
+        self._tls = _threading.local()   # per-worker native streams
+        self._streams = []               # every stream opened (for close)
         self._views_memo = {}     # chunk -> views: calling/filters/prefetch share decodes
         self.platform = cfg.platform_family(self.opt.platform)
         self.aff_min_bq = cfg.MIN_BQ_DICT.get(self.opt.platform,
@@ -129,8 +137,11 @@ class CallingPipeline:
             from clairs_to_tpu.bamio import native
 
             if native.available():
-                if self._stream is None:
-                    self._stream = native.BamStreamReader(self.bam_path)
+                stream = getattr(self._tls, "stream", None)
+                if stream is None:
+                    stream = native.BamStreamReader(self.bam_path)
+                    self._tls.stream = stream
+                    self._streams.append(stream)
                 # fused decode+reduce (round 4): dense dual-BQ channel
                 # counts + candidate stats in ONE pass, entry columns
                 # fetched lazily per site window — the full entry table
@@ -149,18 +160,30 @@ class CallingPipeline:
 
                     ref_tok[s_lo + ref_start - f_lo : s_hi + ref_start - f_lo] = \
                         _REF_TOK[ref_u8[s_lo:s_hi]]
-                win = self._stream.load_window_reduced(
-                    ctg, region_start, region_end,
-                    excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
-                    handle_overlaps=self.opt.handle_overlaps,
-                    aff_min_bq=self.aff_min_bq,
-                    low_mq_thresh=cfg.LOW_MQ_THRESHOLD,
-                    low_bq_thresh=cfg.LOW_BQ_THRESHOLD.get(self.platform, 10),
-                    max_indel_length=self.opt.max_indel_length,
-                    with_phasing=self.opt.phase_tensor,
-                    cand_min_mq=cfg.MIN_MQ,
-                    filter_view=(ref_tok, cfg.MIN_BQ, cfg.MIN_MQ),
-                )
+                def _reduced(stream_):
+                    return stream_.load_window_reduced(
+                        ctg, region_start, region_end,
+                        excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+                        handle_overlaps=self.opt.handle_overlaps,
+                        aff_min_bq=self.aff_min_bq,
+                        low_mq_thresh=cfg.LOW_MQ_THRESHOLD,
+                        low_bq_thresh=cfg.LOW_BQ_THRESHOLD.get(
+                            self.platform, 10),
+                        max_indel_length=self.opt.max_indel_length,
+                        with_phasing=self.opt.phase_tensor,
+                        cand_min_mq=cfg.MIN_MQ,
+                        filter_view=(ref_tok, cfg.MIN_BQ, cfg.MIN_MQ),
+                    )
+
+                win = _reduced(stream)
+                if win is None:
+                    # regressed window (dynamic multi-worker assignment):
+                    # reopen — the fresh stream BAI-seeks to the window
+                    stream.close()
+                    stream = native.BamStreamReader(self.bam_path)
+                    self._tls.stream = stream
+                    self._streams.append(stream)
+                    win = _reduced(stream)
                 if win is not None:
                     pe = PileupEngine.from_native_window(
                         win, ref_seq, ref_start,
@@ -168,7 +191,7 @@ class CallingPipeline:
                         max_indel_length=self.opt.max_indel_length,
                     )
                 else:
-                    table = self._stream.load_window(
+                    table = stream.load_window(
                         ctg, region_start, region_end,
                         excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
                         handle_overlaps=self.opt.handle_overlaps,
@@ -294,17 +317,18 @@ class CallingPipeline:
 
     def evict_views(self, chunk):
         views = self._views_memo.pop(chunk, None)
-        if views is not None and self._stream is not None:
+        if views is not None:
             win = getattr(views[0], "_win", None)
             if win is not None:
                 # release the C++ record retention and pool the dense arena
+                # (back to the stream that created the window)
                 win.close()
                 return
             table = getattr(views[0], "_table", None)
-            if table is not None:
+            if table is not None and self._streams:
                 # all views into the entry table are dropped with the memo;
                 # hand the arena back for the next window's decode
-                self._stream.recycle(table)
+                self._streams[-1].recycle(table)
 
     def iter_chunks(self, chunks, prefetch_depth=2):
         """Yield (chunk, views) with decode-ahead on a worker thread.
@@ -316,8 +340,10 @@ class CallingPipeline:
         streaming BAM reader strictly sequential."""
         from clairs_to_tpu.parallel.scheduler import PrefetchPipeline
 
+        workers = max(1, int(self.opt.decode_workers))
         return PrefetchPipeline(
-            self.build_chunk_views, chunks, depth=prefetch_depth, workers=1
+            self.build_chunk_views, chunks,
+            depth=max(prefetch_depth, workers + 1), workers=workers,
         )
 
     # ------------------------------------------------------------------

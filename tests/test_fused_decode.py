@@ -236,3 +236,85 @@ def test_cli_fused_e2e(tmp_path):
         with open(os.path.join(out, "snv.vcf")) as f:
             outs[tag] = [l for l in f if not l.startswith("#")]
     assert len(outs["native"]) > 0
+
+
+def test_stream_bai_fast_seek_late_contig(tmp_path):
+    """A fresh stream whose FIRST window targets a late contig must
+    BAI-seek instead of inflating the file prefix, and produce the same
+    views as a stream that walked from the start."""
+    from clairs_to_tpu.bamio import bam_writer
+
+    rng = np.random.default_rng(9)
+    L = 30_000
+    genomes = {c: "".join(rng.choice(list("ACGT"), L)) for c in
+               ("chrA", "chrB", "chrC")}
+    records = []
+    for ci, (ctg, g) in enumerate(genomes.items()):
+        for ridx in range(1200):
+            s = int(rng.integers(0, L - 400))
+            seq = list(g[s:s + 400])
+            for _e in range(rng.binomial(400, 0.01)):
+                i = int(rng.integers(0, 400))
+                seq[i] = rng.choice([b for b in "ACGT" if b != seq[i]])
+            records.append((ci, s, bam_writer.encode_record(
+                f"r{ci}_{ridx:05d}", 0, ci, s, 60, [("M", 400)],
+                "".join(seq), [30] * 400)))
+    records.sort(key=lambda r: (r[0], r[1]))
+    bam = str(tmp_path / "multi.bam")
+    # write_bam emits the .bai the fast-seek needs
+    bam_writer.write_bam(bam, list(genomes), [L] * 3, [r[2] for r in records])
+
+    def views(first_ctg_only):
+        sr = native.BamStreamReader(bam)
+        if not first_ctg_only:
+            # walk the stream naturally through chrA, chrB first
+            for ctg in ("chrA", "chrB"):
+                w = sr.load_window_reduced(
+                    ctg, 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+                    aff_min_bq=20)
+                w.close()
+        w = sr.load_window_reduced(
+            "chrC", 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+            aff_min_bq=20)
+        out = (w.aff_counts.copy(), w.aff_depth.copy(), w.n_reads)
+        w.close()
+        sr.close()
+        return out
+
+    a_seek = views(True)      # fresh stream straight to chrC (BAI seek)
+    a_walk = views(False)     # sequential walk
+    assert a_seek[2] == a_walk[2] > 0
+    assert np.array_equal(a_seek[0], a_walk[0])
+    assert np.array_equal(a_seek[1], a_walk[1])
+
+
+def test_multiworker_decode_identical_output(tmp_path):
+    """decode_workers=2 (thread-local streams, dynamic chunk assignment,
+    BAI-seek stream reopen on regression) must produce the same rows as
+    the single-worker pipeline on a multi-contig workload."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "ds")
+    simulate.make_multi_contig_dataset(
+        d, n_contigs=3, genome_len=40_000, seed=13, coverage=35,
+        n_snv=8, n_germline=20)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    outs = {}
+    for tag, workers in (("w1", "1"), ("w2", "2")):
+        out = str(tmp_path / tag)
+        env2 = dict(env, CLAIRS_TO_TPU_DECODE_WORKERS=workers)
+        r = subprocess.run(
+            [sys.executable, "-m", "clairs_to_tpu", "run",
+             "-T", os.path.join(d, "tumor.bam"),
+             "-R", os.path.join(d, "ref.fa"),
+             "-o", out, "-p", "ont", "-t", "3",
+             "--chunk_num", "2",
+             "--disable_verdict", "--disable_indel_calling", "true"],
+            cwd="/root/repo", env=env2, capture_output=True, text=True,
+            timeout=900)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        with open(os.path.join(out, "snv.vcf")) as f:
+            outs[tag] = [l for l in f if not l.startswith("##")]
+    assert outs["w1"] == outs["w2"]
+    assert len(outs["w1"]) > 3
