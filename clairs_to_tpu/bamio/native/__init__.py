@@ -159,6 +159,15 @@ def get_lib():
         )
         lib.pileup_window_release.restype = None
         lib.pileup_window_release.argtypes = [ctypes.c_void_p]
+        lib.pileup_window_reads_select.restype = ctypes.c_int64
+        lib.pileup_window_reads_select.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.pileup_window_reads_sizes.restype = None
+        lib.pileup_window_reads_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.pileup_window_reads_export.restype = None
+        lib.pileup_window_reads_export.argtypes = \
+            [ctypes.c_void_p] + [ctypes.c_void_p] * 7
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = e
@@ -735,6 +744,41 @@ class NativeWindow:
             p(out["st_rel"]), p(out["st_read"]), p(out["en_rel"]),
             p(out["en_read"]))
         return out
+
+    def reads_overlapping(self, lo, hi, min_mapq=0):
+        """Window-retained reads overlapping [lo, hi): list of
+        (pos, flag, mapq, cigar_string, seq_string).
+
+        Zero extra BAM I/O — serves the short-read realignment filter's
+        per-site window fetches from the records this window already
+        parsed (excl_flags applied at select time)."""
+        lib = get_lib()
+        n = lib.pileup_window_reads_select(self._h, int(lo), int(hi),
+                                           int(min_mapq))
+        if n == 0:
+            return []
+        sb = ctypes.c_int64(0)
+        cb = ctypes.c_int64(0)
+        lib.pileup_window_reads_sizes(self._h, ctypes.byref(sb),
+                                      ctypes.byref(cb))
+        pos = np.empty(n, np.int64)
+        flag = np.empty(n, np.int32)
+        mapq = np.empty(n, np.int32)
+        seq_off = np.empty(n + 1, np.int64)
+        cig_off = np.empty(n + 1, np.int64)
+        seq_blob = np.empty(sb.value, np.uint8)
+        cig_blob = np.empty(cb.value, np.uint8)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_window_reads_export(
+            self._h, p(pos), p(flag), p(mapq), p(seq_off), p(cig_off),
+            p(seq_blob), p(cig_blob))
+        seqs = seq_blob.tobytes().decode("latin-1")
+        cigs = cig_blob.tobytes().decode("latin-1")
+        return [
+            (int(pos[i]), int(flag[i]), int(mapq[i]),
+             cigs[cig_off[i]:cig_off[i + 1]], seqs[seq_off[i]:seq_off[i + 1]])
+            for i in range(n)
+        ]
 
     def close(self):
         """Release the C++ record retention and pool the dense arena."""

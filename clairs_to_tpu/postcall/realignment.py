@@ -80,13 +80,19 @@ def realign_filter(
     rows: List[dict],
     qual_threshold: float = QUAL_THRESHOLD,
     min_mq: int = cfg.MIN_MQ,
+    window=None,
 ):
     """Apply the realignment filter to SNV row dicts in place.
+
+    ``window``: optional bamio.native.NativeWindow — per-site reads then
+    come from the fused decode's retained records (zero extra BAM I/O).
+    Without it, each site re-fetches through the pure-Python reader —
+    measured 680s vs <10s on a 2Mb@50x ilmn chunk.
 
     Returns the number of rows failed."""
     if not realign.available():
         return 0
-    bam = BamFile(bam_path)
+    bam = None
     n_failed = 0
     for row in rows:
         if row["FILTER"] != "PASS":
@@ -99,33 +105,42 @@ def realign_filter(
         pos0 = row["POS"] - 1
         win_lo = max(pos0 - WINDOW, 0)
         win_hi = pos0 + WINDOW + 1
-        reads = [
-            r
-            for r in bam.fetch(
-                ctg, win_lo, win_hi,
-                excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG, min_mapq=min_mq,
-            )
-        ]
-        if not reads:
+        if window is not None:
+            ori_info = [
+                (rpos, cig, seq)
+                for (rpos, _flag, _mq, cig, seq)
+                in window.reads_overlapping(win_lo, win_hi, min_mapq=min_mq)
+            ]
+        else:
+            if bam is None:
+                bam = BamFile(bam_path)
+            reads = [
+                r
+                for r in bam.fetch(
+                    ctg, win_lo, win_hi,
+                    excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+                    min_mapq=min_mq,
+                )
+            ]
+            ori_info = [(r.pos, _cigar_string(r), r.seq) for r in reads]
+        if not ori_info:
             continue
-        ori_info = [
-            (r.pos, _cigar_string(r), r.seq) for r in reads
-        ]
         ori_alt, ori_depth = _counts(ori_info, pos0, row["ALT"])
         # assemble + realign
         ref_lo = max(win_lo - 20, 0)
         ref_hi = win_hi + 20
         ref_window = fasta.fetch(ctg, ref_lo, ref_hi)
-        haps = realign.get_consensus(ref_window, [r.seq for r in reads])
+        seqs = [seq for (_p, _c, seq) in ori_info]
+        haps = realign.get_consensus(ref_window, seqs)
         new_pos, new_cigars = realign.realign_reads(
-            ref_window, ref_lo, [r.seq for r in reads], haps
+            ref_window, ref_lo, seqs, haps
         )
         new_info = []
-        for k, r in enumerate(reads):
+        for k, oi in enumerate(ori_info):
             if new_pos[k] < 0 or not new_cigars[k]:
-                new_info.append(ori_info[k])
+                new_info.append(oi)
             else:
-                new_info.append((int(new_pos[k]), new_cigars[k], r.seq))
+                new_info.append((int(new_pos[k]), new_cigars[k], oi[2]))
         new_alt, new_depth = _counts(new_info, pos0, row["ALT"])
         if realign_decision(ori_alt, ori_depth, new_alt, new_depth):
             row["QUAL"] = 0.0
