@@ -65,7 +65,7 @@ def build_workload():
     return BENCH_DIR
 
 
-def run_cli(tag):
+def run_cli(tag, extra=()):
     """Run the production CLI; return (candidates, calling_s, total_s)."""
     out_dir = os.path.join(BENCH_DIR, f"out_{tag}")
     cmd = [
@@ -76,6 +76,7 @@ def run_cli(tag):
         "-p", "ont", "-t", "2",
         "--disable_verdict",
         "--disable_indel_calling", "true",
+        *extra,
     ]
     proc = subprocess.run(
         cmd, cwd="/root/repo", env=dict(os.environ), capture_output=True,
@@ -248,6 +249,12 @@ def main():
     _, cands2, call_warm, total_warm, stages, chunk_rates = med
     last_c, last_s = chunk_rates[-1] if chunk_rates else (0, 1.0)
     steady_chunk = last_c / last_s if last_s > 0 else 0.0
+    # pipelined many-chunk steady: 8x1Mb chunks of the SAME workload, so
+    # startup can hide at most the first chunk's decode — the honest
+    # whole-genome regime (the 2-chunk headline benefits when a slow
+    # engine load lets both chunks decode during startup)
+    c8, call8, _t8, _st8, _cr8 = run_cli("warm8c", ("--chunk_num", "8"))
+    steady_8chunk = c8 / call8 if call8 > 0 else 0.0
     sweep = measure_parity_path()
     device = measure_device_only()
     ref = measure_reference(cands2)
@@ -275,6 +282,7 @@ def main():
         "host_state": host,
         "steady_stages": {k: round(v, 2) for k, v in stages.items()},
         "steady_chunk_candidates_per_sec": round(steady_chunk, 1),
+        "steady_8chunk_cand_per_sec": round(steady_8chunk, 1),
         "chunk_rates": [[c, s] for (c, s) in chunk_rates],
         "candidates": cands2,
         "parity_infer_per_sec": sweep.get("2048"),
