@@ -232,6 +232,14 @@ def _train(argv):
     return 0
 
 
+@register("serve")
+def _serve(argv):
+    """Resident warm-engine calling server (clairs_to_tpu/serve.py)."""
+    from clairs_to_tpu.serve import main as serve_main
+
+    return serve_main(argv)
+
+
 @register("convert_checkpoint")
 def _convert(argv):
     from tools.convert_checkpoint import main as convert_main

@@ -674,7 +674,7 @@ def main(argv=None):
         raise
 
 
-def _main_impl(args):
+def _main_impl(args, engines=None):
     t0 = time.time()
 
     resolve_af_defaults(args)
@@ -691,13 +691,16 @@ def _main_impl(args):
     _stdout = sys.stdout
     sys.stdout = tee
     try:
-        return _pipeline_body(args, metrics, t0, tee)
+        return _pipeline_body(args, metrics, t0, tee, engines=engines)
     finally:
         sys.stdout = _stdout
         tee.close()
 
 
-def _pipeline_body(args, metrics, t0, tee):
+def _pipeline_body(args, metrics, t0, tee, engines=None):
+    """engines: optional preloaded (snv_engine, indel_engine) — the serve
+    mode keeps compiled engines resident across requests, amortizing the
+    AOT/exec-load startup entirely (clairs_to_tpu/serve.py)."""
     from clairs_to_tpu.genome.chunks import plan_chunks
     from clairs_to_tpu.genome.fasta import FastaFile
     from clairs_to_tpu.infer.pipeline import CallingPipeline, PipelineOptions
@@ -800,6 +803,8 @@ def _pipeline_body(args, metrics, t0, tee):
         load on the tunneled TPU).  Called AFTER the chunk-decode prefetch
         starts, so the first chunk's multi-GB arena fault-in (the other big
         cold cost) overlaps the engine wait instead of serializing with it."""
+        if engines is not None:
+            return engines
         mesh = _init_backend()
         with metrics.stage("load_engines"):
             snv_e, indel_e = load_engines(args, mesh=mesh)
