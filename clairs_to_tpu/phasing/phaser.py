@@ -155,3 +155,90 @@ def phase_and_tag(pileup_engine, het_sites, min_bq=0, min_mq=20):
     hp = haplotag_reads(n_reads, orientations, site_alleles)
     apply_haplotags(pileup_engine, hp)
     return hp
+
+
+def phase_het_snps_mst(pileup_engine, het_sites, min_bq=0, min_mq=20):
+    """Independent phasing algorithm: exact on a maximum-spanning forest.
+
+    Cross-validation partner for the greedy sequential phaser
+    (``phase_het_snps``): a deliberately DIFFERENT formulation so the two
+    can check each other (round-3 verdict: the phaser was validated only
+    against the simulator's truth).  For any read covering het sites i, j
+    with alleles a_i, a_j, the orientations satisfy
+    ``o_i XOR o_j == a_i XOR a_j`` on a chimera-free read — so each
+    consecutive-site pair accumulates a link weight
+    (#equal-allele reads - #opposite-allele reads), and the orientation
+    assignment that is EXACT on the maximum-|weight| spanning forest
+    follows by propagating signs from each component root.
+
+    Returns (orientations, site_alleles) like phase_het_snps.
+    """
+    site_alleles = _site_read_alleles(pileup_engine, het_sites, min_bq, min_mq)
+    n = len(het_sites)
+    orientations = [0] * n
+    if n == 0:
+        return orientations, site_alleles
+    # per-read covered sites -> consecutive-pair link weights
+    read_sites = defaultdict(list)
+    for k, alleles in enumerate(site_alleles):
+        for rid, al in alleles.items():
+            read_sites[rid].append((k, al))
+    weights = defaultdict(int)   # (i, j) i<j -> agree - disagree
+    for sites in read_sites.values():
+        sites.sort()
+        for (i, ai), (j, aj) in zip(sites, sites[1:]):
+            if i == j:
+                continue
+            weights[(i, j)] += 1 if ai == aj else -1
+    # maximum-|w| spanning forest (Kruskal, union-find)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = sorted(weights.items(), key=lambda kv: -abs(kv[1]))
+    adj = defaultdict(list)
+    for (i, j), w in edges:
+        if w == 0:
+            continue
+        ri, rj = find(i), find(j)
+        if ri == rj:
+            continue
+        parent[ri] = rj
+        adj[i].append((j, w))
+        adj[j].append((i, w))
+    # propagate orientations from each component root
+    seen = [False] * n
+    for root in range(n):
+        if seen[root]:
+            continue
+        stack = [root]
+        seen[root] = True
+        while stack:
+            u = stack.pop()
+            for (v, w) in adj[u]:
+                if seen[v]:
+                    continue
+                # w > 0: same-allele majority -> equal orientations
+                orientations[v] = orientations[u] if w > 0 \
+                    else 1 - orientations[u]
+                seen[v] = True
+                stack.append(v)
+    return orientations, site_alleles
+
+
+def orientation_agreement(o_a, o_b, site_alleles=None):
+    """Swap-invariant per-adjacent-pair agreement of two phase solutions:
+    the fraction of consecutive site pairs whose RELATIVE orientation
+    matches (global hap labels are arbitrary)."""
+    n = min(len(o_a), len(o_b))
+    if n < 2:
+        return 1.0
+    same = sum(
+        1 for k in range(n - 1)
+        if (o_a[k] ^ o_a[k + 1]) == (o_b[k] ^ o_b[k + 1])
+    )
+    return same / (n - 1)

@@ -31,7 +31,9 @@ from clairs_to_tpu.bamio import simulate  # noqa: E402
 from clairs_to_tpu.bamio.pileup import PileupEngine  # noqa: E402
 from clairs_to_tpu.phasing.phaser import (  # noqa: E402
     haplotag_reads,
+    orientation_agreement,
     phase_het_snps,
+    phase_het_snps_mst,
 )
 
 
@@ -77,6 +79,8 @@ def evaluate(seed, genome_len=120_000, coverage=60, read_length=800,
     orientations, site_alleles = phase_het_snps(pe, het_sites)
     hp = haplotag_reads(pe._finalize()["read_id"].max() + 1,
                         orientations, site_alleles)
+    # independent-algorithm cross-check (max-spanning-forest exact solver)
+    mst_orient, _ = phase_het_snps_mst(pe, het_sites)
 
     # switch error: truth orientation is constant (alt always on hap 0), so
     # any flip between adjacent *informative* sites is a switch
@@ -98,11 +102,18 @@ def evaluate(seed, genome_len=120_000, coverage=60, read_length=800,
         acc = max(acc_a, 1.0 - acc_a)
     else:
         acc = 0.0
+    # MST solver's own switch error + inter-method agreement
+    mst_flips = sum(
+        1 for a, b in zip(informative, informative[1:])
+        if mst_orient[a] != mst_orient[b]
+    )
     return dict(
         seed=seed, coverage=coverage, read_length=read_length,
         error_rate=error_rate, n_het=len(het_sites),
         informative=len(informative), switch_error=switch_err,
         tag_accuracy=acc, tagged_fraction=float(tagged.mean()),
+        mst_switch_error=mst_flips / pairs,
+        method_agreement=orientation_agreement(orientations, mst_orient),
     )
 
 
@@ -112,6 +123,10 @@ CONFIGS = [
     dict(coverage=60, read_length=500, error_rate=0.01),   # shorter reads
     dict(coverage=60, read_length=800, error_rate=0.05),   # noisy
     dict(coverage=60, read_length=1500, error_rate=0.01),  # HiFi-like length
+    # adversarial (round-3 verdict weak #7): switch-dense linkage — het
+    # spacing comparable to read length, low coverage, high error
+    dict(coverage=20, read_length=500, error_rate=0.03, n_germline=180),
+    dict(coverage=15, read_length=800, error_rate=0.05, n_germline=240),
 ]
 
 
@@ -138,21 +153,27 @@ def main():
         "a stronger oracle than tool-vs-tool agreement.",
         "",
         "| coverage | read_len | err | seed | het sites | switch err | "
-        "tag acc | tagged frac |",
-        "|---|---|---|---|---|---|---|---|",
+        "tag acc | tagged frac | MST switch err | method agree |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['coverage']}x | {r['read_length']} | {r['error_rate']} "
             f"| {r['seed']} | {r['n_het']} | {r['switch_error']:.4f} "
-            f"| {r['tag_accuracy']:.4f} | {r['tagged_fraction']:.3f} |")
+            f"| {r['tag_accuracy']:.4f} | {r['tagged_fraction']:.3f} "
+            f"| {r['mst_switch_error']:.4f} | {r['method_agreement']:.4f} |")
     sw = [r["switch_error"] for r in rows]
     ac = [r["tag_accuracy"] for r in rows]
+    ag = [r["method_agreement"] for r in rows]
     lines += [
         "",
         f"**Aggregate:** mean switch error {np.mean(sw):.4f} "
         f"(max {np.max(sw):.4f}); mean haplotag accuracy {np.mean(ac):.4f} "
-        f"(min {np.min(ac):.4f}).",
+        f"(min {np.min(ac):.4f}); mean greedy-vs-MST orientation agreement "
+        f"{np.mean(ag):.4f} (min {np.min(ag):.4f}) — the MST solver "
+        "(phase_het_snps_mst) is an algorithmically independent exact-on-"
+        "forest formulation, so high agreement is a tool-vs-tool check "
+        "that does not share the greedy solver's failure modes.",
         "",
         "Downstream consumers — verdicts ⑤⑥⑦ of the haplotype filter — are",
         "additionally golden-tested against the reference's own filter code",
