@@ -281,6 +281,11 @@ def main():
             / max(steady_runs[-1][0], 1e-9), 1),
         "host_state": host,
         "steady_stages": {k: round(v, 2) for k, v in stages.items()},
+        "stages_note": "decode_tensor_build(worker) accumulates on the "
+                       "decode-ahead THREAD and overlaps load_engines + "
+                       "device compute + the main-thread stages - it is "
+                       "concurrent time, not wall; the wall evidence is "
+                       "'calling' (and per-chunk rates)",
         "steady_chunk_candidates_per_sec": round(steady_chunk, 1),
         "steady_8chunk_cand_per_sec": round(steady_8chunk, 1),
         "chunk_rates": [[c, s] for (c, s) in chunk_rates],
