@@ -376,6 +376,8 @@ class BamStreamReader:
             self._pool.append(arena)
 
     def _recycle_flat(self, arena):
+        if self._h is None:
+            return  # closed stream: let the arena free instead of pinning it
         if len(self._flat_pool) < 3:
             self._flat_pool.append(arena)
 

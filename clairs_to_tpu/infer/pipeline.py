@@ -178,9 +178,17 @@ class CallingPipeline:
                 win = _reduced(stream)
                 if win is None:
                     # regressed window (dynamic multi-worker assignment):
-                    # reopen — the fresh stream BAI-seeks to the window
+                    # reopen — the fresh stream BAI-seeks to the window;
+                    # the dense-arena pool moves over so no re-fault
+                    pool = stream._flat_pool
+                    stream._flat_pool = []
                     stream.close()
+                    try:
+                        self._streams.remove(stream)
+                    except ValueError:
+                        pass
                     stream = native.BamStreamReader(self.bam_path)
+                    stream._flat_pool = pool
                     self._tls.stream = stream
                     self._streams.append(stream)
                     win = _reduced(stream)
