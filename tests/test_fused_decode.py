@@ -318,3 +318,36 @@ def test_multiworker_decode_identical_output(tmp_path):
             outs[tag] = [l for l in f if not l.startswith("##")]
     assert outs["w1"] == outs["w2"]
     assert len(outs["w1"]) > 3
+
+
+def test_out_of_order_chunks_reopen_stream(tmp_path):
+    """A library caller decoding chunks out of order (regressed window)
+    must get correct views via the stream-reopen path (BAI fast-seek),
+    with the dense-arena pool carried over."""
+    from clairs_to_tpu.genome.chunks import Chunk
+    from clairs_to_tpu.genome.fasta import FastaFile
+    from clairs_to_tpu.infer.pipeline import CallingPipeline, PipelineOptions
+
+    d = str(tmp_path / "ds")
+    simulate.make_dataset(d, seed=77, genome_len=60_000, coverage=30,
+                          read_length=500, n_snv=10, n_indel=0,
+                          n_germline=40, error_rate=0.01,
+                          af_choices=(0.2, 0.4))
+    fa = FastaFile(os.path.join(d, "ref.fa"))
+    pipe = CallingPipeline(fa, os.path.join(d, "tumor.bam"), None, None,
+                           PipelineOptions(platform="ont"))
+    c2 = Chunk(ctg_name="chrS", ctg_start=30_000, ctg_end=60_000,
+               chunk_id=1, chunk_num=2)
+    c1 = Chunk(ctg_name="chrS", ctg_start=0, ctg_end=30_000,
+               chunk_id=0, chunk_num=2)
+    pe2, *_ = pipe.build_chunk_views(c2)   # forward
+    pe1, *_ = pipe.build_chunk_views(c1)   # REGRESSION -> reopen
+    s1 = pe1.find_candidates(0, 30_000, min_bq=20)
+    s2 = pe2.find_candidates(30_000, 60_000, min_bq=20)
+    # reference: in-order pipeline
+    pipe_ref = CallingPipeline(fa, os.path.join(d, "tumor.bam"), None, None,
+                               PipelineOptions(platform="ont"))
+    r1, *_ = pipe_ref.build_chunk_views(c1)
+    w1 = r1.find_candidates(0, 30_000, min_bq=20)
+    assert s1[0] == w1[0]
+    assert len(s1[0]) + len(s2[0]) > 5
