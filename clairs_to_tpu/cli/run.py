@@ -899,7 +899,9 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
         else fam == "ilmn"
     )
 
-    options.precompute_filter_assembly = apply_hap_filter or apply_postfilter
+    options.precompute_filter_assembly = (
+        (apply_hap_filter or apply_postfilter)
+        and os.environ.get("CLAIRS_TO_TPU_PRECOMPUTE_ASSEMBLY", "1") != "0")
     # decode-ahead workers: one per spare physical core, capped (each holds
     # its own native stream; BAI fast-seek keeps dynamic chunk assignment
     # cheap). On this 2-CPU build box this resolves to 1 (the round-3
