@@ -105,3 +105,30 @@ def test_serve_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_serve_concurrent_requests_serialize(server, ds, tmp_path):
+    """Two simultaneous calls must both succeed (per-chip lock serializes
+    them) and produce identical bodies."""
+    import threading
+
+    argv = ["-T", ds["bam"], "-R", ds["fasta"], "-p", "ont", "-t", "1",
+            "--model_dir", DEFAULT_ASSET_DIR, "--device_batch", "256",
+            "--disable_verdict", "--disable_indel_calling", "true"]
+    results = {}
+
+    def go(tag):
+        results[tag] = _call(
+            server, {"argv": argv + ["-o", str(tmp_path / f"c_{tag}")]})
+
+    ts = [threading.Thread(target=go, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results["a"]["returncode"] == 0
+    assert results["b"]["returncode"] == 0
+    with open(results["a"]["snv_vcf"]) as fa, \
+            open(results["b"]["snv_vcf"]) as fb:
+        assert [l for l in fa if not l.startswith("##")] == \
+            [l for l in fb if not l.startswith("##")]
