@@ -914,7 +914,10 @@ void entry_channel_counts(
       }
       // LBQ counting skips indel-suffix entries (pure keys only)
     }
-    if (with_phasing && c < 8 && (hp[j] == 1 || hp[j] == 2)) {
+    // phase channels take PURE base entries only: an indel-suffixed
+    // entry's joined key ("A+TG") fails the reference's 'ACGTacgt'
+    // membership test (create_tensor_pileup_calling.py:150-154)
+    if (with_phasing && pure && c < 8 && (hp[j] == 1 || hp[j] == 2)) {
       int base_off = 34 + (hp[j] == 2 ? 8 : 0);
       row[base_off + (c % 8)] += 1;
     }
@@ -1441,7 +1444,9 @@ inline void accum_tensor(ReduceOut& o, int32_t* out, int32_t* depth,
       row[is_ins ? (fwd ? 4 : 13) : (fwd ? 6 : 15)] += 1;
     }
   }
-  if (o.with_phasing && c < 8 && (hp == 1 || hp == 2))
+  // pure entries only: indel-suffixed keys fail the reference's
+  // 'ACGTacgt' membership test (create_tensor:150-154)
+  if (o.with_phasing && ikind == 0 && c < 8 && (hp == 1 || hp == 2))
     row[34 + (hp == 2 ? 8 : 0) + (c % 8)] += 1;
 }
 

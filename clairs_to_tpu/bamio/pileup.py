@@ -532,9 +532,10 @@ class PileupEngine:
         if with_phasing:
             base_off = nchan - 16
             for hval, off in ((1, 0), (2, 8)):
-                m = (hp == hval) & (code < 8)
-                ch = base_off + off + np.where(code[m] < 4, code[m], code[m])
-                # phase channels: A..T then a..t per hap (create_tensor:60-67)
+                # PURE base entries only: an indel-suffixed entry's joined
+                # key fails the reference's 'ACGTacgt' membership test
+                # (create_tensor:150-154); layout A..t HP1 then HP2 (:60-67)
+                m = (hp == hval) & (code < 8) & pure
                 ch = base_off + off + code[m] % 8
                 np.add.at(out, (pos[m], ch), 1)
 

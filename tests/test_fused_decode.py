@@ -351,3 +351,48 @@ def test_out_of_order_chunks_reopen_stream(tmp_path):
     w1 = r1.find_candidates(0, 30_000, min_bq=20)
     assert s1[0] == w1[0]
     assert len(s1[0]) + len(s2[0]) > 5
+
+
+def test_phased_views_fused_vs_table(tmp_path):
+    """with_phasing=True channel counts: fused reduce vs entry-table path
+    on a BAM carrying HP tags (incl. indel-suffixed entries, which the
+    phase channels must exclude)."""
+    rng = np.random.default_rng(88)
+    L = 5000
+    genome = "".join(rng.choice(list("ACGT"), L))
+    records = []
+    for ridx in range(700):
+        s = int(rng.integers(0, L - 200))
+        rev = bool(rng.random() < 0.5)
+        hp = int(rng.choice([0, 1, 2]))
+        tags = b"" if hp == 0 else b"HPc" + bytes([hp])
+        if rng.random() < 0.3:
+            ipos = int(rng.integers(30, 120))
+            cigar = [("M", ipos), ("I", 2), ("M", 150 - ipos)]
+            seq = genome[s:s + ipos] + "AC" + genome[s + ipos:s + 150]
+        else:
+            cigar = [("M", 150)]
+            seq = genome[s:s + 150]
+        qual = list(rng.integers(8, 40, len(seq)))
+        records.append((s, bam_writer.encode_record(
+            f"h{ridx:05d}", 16 if rev else 0, 0, s, 60, cigar, seq, qual,
+            tags=tags)))
+    records.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "ph.bam")
+    bam_writer.write_bam(bam, ["chrP"], [L], [r[1] for r in records])
+
+    table = native.load_entry_table(
+        bam, "chrP", 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG)
+    pe_o = PileupEngine.from_entry_table(table, genome, 0, platform="ont")
+    sr = native.BamStreamReader(bam)
+    win = sr.load_window_reduced(
+        "chrP", 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG,
+        aff_min_bq=20, low_mq_thresh=20, low_bq_thresh=30,
+        max_indel_length=60, with_phasing=True)
+    pe_n = PileupEngine.from_native_window(win, genome, 0, platform="ont")
+    for mb in (20, 0):
+        c_o, d_o = pe_o.channel_counts(mb, 0, L, with_phasing=True)
+        c_n, d_n = pe_n.channel_counts(mb, 0, L, with_phasing=True)
+        assert c_o.shape[1] == 50
+        assert np.array_equal(c_o, c_n) and np.array_equal(d_o, d_n)
+    assert c_o[:, 34:].sum() > 0  # phase channels actually populated

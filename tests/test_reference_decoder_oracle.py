@@ -295,3 +295,87 @@ def test_alt_fn_dump_byte_compat(fuzz_setup, tmp_path):
     assert len(ours) == len(want)
     for o, w in zip(ours, want):
         assert o == w, (o, w)
+
+
+def test_phased_tensor_decoder_oracle(tmp_path):
+    """HP phase channels (with_phasing) vs the executed reference tensor
+    decoder's phasing_info path (create_tensor_pileup_calling.py:150-154):
+    reads carry HP tags (incl. untagged ones), columns include indel-
+    suffixed and placeholder entries — the reference counts ONLY pure
+    ACGT/acgt entries of HP-1/2 reads into the 16 phase channels."""
+    ctp, _ecc = _import_reference_decoders()
+    rng = np.random.default_rng(4321)
+    L = 4000
+    genome = "".join(rng.choice(list("ACGT"), L))
+    records = []
+    for ridx in range(600):
+        s = int(rng.integers(0, L - 200))
+        rev = bool(rng.random() < 0.5)
+        hp = int(rng.choice([0, 1, 2]))
+        tags = b"" if hp == 0 else b"HPc" + bytes([hp])
+        style = rng.integers(0, 3)
+        if style == 0:
+            cigar = [("M", 150)]
+            seq = list(genome[s:s + 150])
+        elif style == 1:
+            ipos = int(rng.integers(30, 120))
+            ins = "".join(rng.choice(list("ACGT"), 3))
+            cigar = [("M", ipos), ("I", 3), ("M", 150 - ipos)]
+            seq = list(genome[s:s + ipos] + ins + genome[s + ipos:s + 150])
+        else:
+            dpos = int(rng.integers(30, 120))
+            cigar = [("M", dpos), ("D", 2), ("M", 150 - dpos)]
+            seq = list(genome[s:s + dpos] + genome[s + dpos + 2:s + dpos + 2 + 150 - dpos])
+        for _e in range(rng.binomial(len(seq), 0.02)):
+            i = int(rng.integers(0, len(seq)))
+            seq[i] = rng.choice([b for b in "ACGT" if b != seq[i]])
+        qual = list(rng.integers(8, 40, len(seq)))
+        records.append((s, bam_writer.encode_record(
+            f"h{ridx:05d}", 16 if rev else 0, 0, s, 60, cigar,
+            "".join(seq), qual, tags=tags)))
+    records.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "phased.bam")
+    bam_writer.write_bam(bam, ["chrP"], [L], [r[1] for r in records])
+
+    table = native.load_entry_table(
+        bam, "chrP", 0, L, excl_flags=cfg.SAMTOOLS_VIEW_FILTER_FLAG)
+    pe = PileupEngine.from_entry_table(table, genome, 0, platform="ont")
+    min_bq = 20
+    counts, _d = pe.channel_counts(min_bq, 0, L, with_phasing=True)
+    counts = counts.copy()
+    pe.apply_reference_encoding(counts, 0)
+
+    a = pe._finalize()
+    args = SimpleNamespace(max_indel_length=cfg.MAX_INDEL_LENGTH)
+    n_checked = 0
+    for p in range(L):
+        rb = genome[p]
+        if rb not in "ACGT":
+            continue
+        idx = np.nonzero(a["pos"] == p)[0]
+        ents = []
+        for j in idx:
+            s_ = pe._entry_string(int(j))
+            if a["bq"][j] < min_bq:
+                continue
+            if len(s_) > 1:
+                ents.append((s_[0] + s_[1] + str(len(s_) - 2) + s_[2:],
+                             int(a["mq"][j]), int(a["bq"][j]),
+                             str(a["hp"][j]) if a["hp"][j] in (1, 2) else "0"))
+            else:
+                ents.append((s_, int(a["mq"][j]), int(a["bq"][j]),
+                             str(a["hp"][j]) if a["hp"][j] in (1, 2) else "0"))
+        if not ents:
+            continue
+        s_str = "".join(e[0] for e in ents)
+        mqs = [e[1] for e in ents]
+        bqs = [e[2] for e in ents]
+        phasing = [e[3] for e in ents]
+        tensor, *_rest = ctp.decode_pileup_bases(
+            args, p, s_str, rb, 0.05, 0.05, True, {p: "snv"}, True,
+            mqs, bqs, phasing_info=phasing, chunk_ref_seq=genome[p:p + 130],
+            platform="ont")
+        n_checked += 1
+        assert tensor == counts[p].tolist(), (
+            p, tensor[34:], counts[p].tolist()[34:])
+    assert n_checked > 1000
