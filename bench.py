@@ -231,6 +231,7 @@ def host_state():
 
 
 def main():
+    _t_start = time.time()
     build_workload()
     host = host_state()
     cands, call_cold, total_cold, _, _ = run_cli("cold")
@@ -255,8 +256,12 @@ def main():
     # engine load lets both chunks decode during startup)
     c8, call8, _t8, _st8, _cr8 = run_cli("warm8c", ("--chunk_num", "8"))
     steady_8chunk = c8 / call8 if call8 > 0 else 0.0
-    sweep = measure_parity_path()
-    device = measure_device_only()
+    # soft budget: if the e2e phase ran long (server-side engine-load
+    # outliers), skip the auxiliary sweeps so the ONE JSON line the driver
+    # captures is never lost to a harness timeout
+    aux_ok = (time.time() - _t_start) < 900
+    sweep = measure_parity_path() if aux_ok else {}
+    device = measure_device_only() if aux_ok else 0.0
     ref = measure_reference(cands2)
     vs = round(steady / ref, 2) if ref else None
     print(json.dumps({
@@ -292,7 +297,8 @@ def main():
         "candidates": cands2,
         "parity_infer_per_sec": sweep.get("2048"),
         "parity_batch_sweep": sweep,
-        "device_only_per_sec": round(device, 1),
+        "device_only_per_sec": round(device, 1) if device else None,
+        "aux_sweeps_skipped": not aux_ok,
         "workload": f"{GENOME_LEN//1000}kb@{COVERAGE}x ONT-like sim, "
                     f"seed {SEED}",
     }))
