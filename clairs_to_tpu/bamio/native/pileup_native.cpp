@@ -1520,6 +1520,35 @@ inline void flush_indel_cell(ReduceOut& o, uint64_t key, int32_t ac,
 static const int16_t FILT_BASE_ID12[12] = {0, 1, 2, 3, 0, 1, 2, 3,
                                            8, 9, 10, 10};
 
+// --- M-run fast-path lookup tables (round 5) -------------------------------
+// nibble -> entry code per strand (BAM 4-bit seq encoding; SEQ_NT16 order):
+// A=1 C=2 G=4 T=8 map to 0-3 (+4 reversed); everything else is skip.
+struct NibCodeLUT {
+  int8_t t[2][16];
+  NibCodeLUT() {
+    for (int rev = 0; rev < 2; rev++)
+      for (int n = 0; n < 16; n++) {
+        int8_t c = rev ? CODE_SKIP_REV : CODE_SKIP;
+        switch (n) {
+          case 1: c = rev ? 4 : 0; break;   // A
+          case 2: c = rev ? 5 : 1; break;   // C
+          case 4: c = rev ? 6 : 2; break;   // G
+          case 8: c = rev ? 7 : 3; break;   // T
+        }
+        t[rev][n] = c;
+      }
+  }
+};
+static const NibCodeLUT NIB_CODE;
+// channel of a pure base entry, per code 0-7 (accum_tensor's ch formula)
+static const int8_t CH_MAIN[8] = {0, 1, 2, 3, 9, 10, 11, 12};
+static const int8_t CH_LMQ[8] = {18, 19, 20, 21, 22, 23, 24, 25};
+static const int8_t CH_LBQ[8] = {26, 27, 28, 29, 30, 31, 32, 33};
+
+inline uint8_t rec_nib(const RecView& v, int i) {
+  return (i & 1) ? (v.seq4[i >> 1] & 0xF) : (uint8_t)(v.seq4[i >> 1] >> 4);
+}
+
 // Fused-reduce window state, retained for the masked entries pass.
 // Also carries the filter-view (hard/haplotype verdict) accumulators: the
 // non-ref entry stream, read start/end marks, and dense per-column
@@ -1610,6 +1639,73 @@ inline void filt_accum(WindowHandle* h, int64_t p, int c, int bq, int mq,
 }
 
 
+// Per-read hoisted gates for the M-run fast path.
+struct MRunCtx {
+  bool hi_mq, cand_ok, dual, filt_on, filt_mq_ok;
+  const int8_t* nibcode;   // strand's nibble->code row
+  int aff_bq, low_bq, filt_min_bq;
+};
+
+// Specialized accumulation for the INTERIOR of an M/=/X run: pure bases
+// only (no indel anchoring, no phasing channels), per-read gates hoisted,
+// k-range pre-clipped by the caller so the loop carries no bounds checks.
+// Semantics identical to accum_entry + filt_accum for ikind==0 entries
+// (cross-checked by tests/test_fused_decode.py's bitwise equality).
+template <bool TENSOR>
+inline void mrun_accum(ReduceOut& o, WindowHandle* h, const RecView& v,
+                       const uint8_t* q_eff, const MRunCtx& cx,
+                       int64_t ref_pos, int qpos, int64_t k0, int64_t k1,
+                       int64_t start, int rid, int64_t first_pos,
+                       int64_t last_pos) {
+  for (int64_t k = k0; k < k1; k++) {
+    int qk = qpos + (int)k;
+    int c = cx.nibcode[rec_nib(v, qk)];
+    if (c >= 10) continue;             // pure N: consumed by no view
+    int q = q_eff[qk];
+    int64_t p = ref_pos + k;
+    if (TENSOR) {
+      bool aff_ok = q >= cx.aff_bq;
+      int64_t rel = p - start;
+      if (aff_ok || cx.dual) {
+        int32_t* row = (aff_ok ? o.aff : o.neg) + rel * o.nchan;
+        if (cx.hi_mq) {
+          row[CH_MAIN[c]] += 1;
+          (aff_ok ? o.aff_depth : o.neg_depth)[rel] += 1;
+        } else {
+          row[CH_LMQ[c]] += 1;
+        }
+        if (q < cx.low_bq) row[CH_LBQ[c]] += 1;
+      }
+      if (aff_ok && cx.cand_ok) {
+        o.cand_depth[rel] += 1;
+        o.cand_base[rel * 4 + (c & 3)] += 1;
+      }
+    }
+    if (cx.filt_mq_ok && q >= cx.filt_min_bq) {
+      int64_t frel = p - h->fstart;
+      h->filt_depth[frel] += 1;
+      if (p == first_pos) {
+        h->st_rel.push_back((int32_t)frel);
+        h->st_read.push_back(rid);
+      }
+      if (p == last_pos) {
+        h->en_rel.push_back((int32_t)frel);
+        h->en_read.push_back(rid);
+      }
+      int16_t b = FILT_BASE_ID12[c];
+      if (b != h->ref_tok[frel]) {   // rare: mismatch entry
+        h->filt_nonref[frel] += 1;
+        h->nr_rel.push_back((int32_t)frel);
+        h->nr_read.push_back(rid);
+        h->nr_base.push_back((int8_t)b);
+        h->nr_ik.push_back(0);
+        h->nr_ilen.push_back(0);
+        h->nr_sub.push_back(0);
+      }
+    }
+  }
+}
+
 // First/last ref-consuming positions of a read ('^'/'$' flag columns).
 inline void read_span_marks(const RecView& v, int64_t* first_pos,
                             int64_t* last_pos) {
@@ -1685,6 +1781,18 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
     }
   };
   const bool filt_on = h && h->filt_depth;
+  // fast-path context (phasing channels need hp per entry -> generic path)
+  MRunCtx cx;
+  cx.hi_mq = v.mapq >= o.low_mq;
+  cx.cand_ok = v.mapq >= o.cand_min_mq;
+  cx.dual = o.dual != 0;
+  cx.filt_on = filt_on;
+  cx.filt_mq_ok = filt_on && v.mapq >= (h ? h->filt_min_mq : 0);
+  cx.nibcode = NIB_CODE.t[rev ? 1 : 0];
+  cx.aff_bq = o.aff_bq;
+  cx.low_bq = o.low_bq;
+  cx.filt_min_bq = filt_on ? h->filt_min_bq : 0;
+  const bool fast_on = !o.with_phasing;
   for (int i = 0; i < v.n_cigar; i++) {
     int op = v.cigar[i] & 0xF;
     int ln = v.cigar[i] >> 4;
@@ -1693,15 +1801,40 @@ void reduce_record(ReduceOut& o, const RecView& v, const uint8_t* adj_qual,
       // every earlier base flushes immediately, skipping the pending-
       // entry bookkeeping on ~99% of entries (the single hottest loop)
       flush();
-      for (int k = 0; k < ln - 1; k++) {
-        int64_t p = ref_pos + k;
-        int c = base_code(rec_base(v, qpos + k), rev);
-        int q = q_eff[qpos + k];
-        if (p >= start && p < end)
-          accum_entry(o, p - start, c, q, v.mapq, hp, 0, 0, nullptr);
-        if (filt_on && p >= fstart && p < fend)
-          filt_accum(h, p, c, q, v.mapq, 0, 0, nullptr, rid,
-                     p == first_pos, p == last_pos);
+      if (fast_on && ln > 1) {
+        // interior positions [ref_pos, ref_pos + ln - 1), pre-clipped
+        const int64_t lo = ref_pos, hi = ref_pos + ln - 1;
+        int64_t a = std::max(lo, start), b = std::min(hi, end);
+        if (a < b)
+          mrun_accum<true>(o, h, v, q_eff, cx, ref_pos, qpos,
+                           a - ref_pos, b - ref_pos, start, rid,
+                           first_pos, last_pos);
+        if (cx.filt_mq_ok) {
+          // filter-only margins outside the tensor window
+          int64_t a2 = std::max(lo, fstart);
+          int64_t b2 = std::min(hi, std::min(start, fend));
+          if (a2 < b2)
+            mrun_accum<false>(o, h, v, q_eff, cx, ref_pos, qpos,
+                              a2 - ref_pos, b2 - ref_pos, start, rid,
+                              first_pos, last_pos);
+          int64_t a3 = std::max(lo, std::max(end, fstart));
+          int64_t b3 = std::min(hi, fend);
+          if (a3 < b3)
+            mrun_accum<false>(o, h, v, q_eff, cx, ref_pos, qpos,
+                              a3 - ref_pos, b3 - ref_pos, start, rid,
+                              first_pos, last_pos);
+        }
+      } else {
+        for (int k = 0; k < ln - 1; k++) {
+          int64_t p = ref_pos + k;
+          int c = base_code(rec_base(v, qpos + k), rev);
+          int q = q_eff[qpos + k];
+          if (p >= start && p < end)
+            accum_entry(o, p - start, c, q, v.mapq, hp, 0, 0, nullptr);
+          if (filt_on && p >= fstart && p < fend)
+            filt_accum(h, p, c, q, v.mapq, 0, 0, nullptr, rid,
+                       p == first_pos, p == last_pos);
+        }
       }
       if (ln > 0) {
         push(ref_pos + ln - 1, base_code(rec_base(v, qpos + ln - 1), rev),
@@ -1858,6 +1991,25 @@ void* pileup_window_reduce(
   int64_t L = end - start;
   if (rid < 0 || L <= 0 || L >= (1ll << 26)) return nullptr;
 
+  // env-gated phase profiling (CLAIRS_DECODE_PROFILE=1): stderr timings
+  static int prof = -1;
+  if (prof < 0) {
+    const char* e = getenv("CLAIRS_DECODE_PROFILE");
+    prof = (e && e[0] == '1') ? 1 : 0;
+  }
+  struct Clk {
+    timespec t;
+    void mark() { clock_gettime(CLOCK_MONOTONIC, &t); }
+    double since() const {
+      timespec n;
+      clock_gettime(CLOCK_MONOTONIC, &n);
+      return (n.tv_sec - t.tv_sec) + 1e-9 * (n.tv_nsec - t.tv_nsec);
+    }
+  } clk;
+  double t_sel = 0, t_ovl = 0, t_memset = 0, t_loop = 0, t_fold = 0,
+         t_flush = 0;
+  if (prof) clk.mark();
+
   auto* h = new WindowHandle();
   h->excl_flags = excl_flags;
   h->min_mapq = min_mapq;
@@ -1865,7 +2017,9 @@ void* pileup_window_reduce(
   h->start = start;
   h->end = end;
   select_window_records(s, rid, start, end, &h->records);
+  if (prof) { t_sel = clk.since(); clk.mark(); }
   if (handle_overlaps) stage_overlaps(h);
+  if (prof) { t_ovl = clk.since(); clk.mark(); }
   if (ref_tok && filt_depth) {
     h->fstart = start - fmargin;
     h->fend = end + fmargin;
@@ -1911,6 +2065,7 @@ void* pileup_window_reduce(
   memset(cand_depth, 0, (size_t)L * sizeof(int32_t));
   memset(cand_ins, 0, (size_t)L * sizeof(int32_t));
   memset(cand_del, 0, (size_t)L * sizeof(int32_t));
+  if (prof) { t_memset = clk.since(); clk.mark(); }
 
   int64_t n_reads = 0;
   for (auto& sp : h->records) {
@@ -1923,6 +2078,7 @@ void* pileup_window_reduce(
     reduce_record(o, v, adj, start, end, hp, h, (int)n_reads);
     n_reads++;
   }
+  if (prof) { t_loop = clk.since(); clk.mark(); }
   if (dual) {
     // fold the AFF view into the NEG delta (additive channels only; the
     // max channels are still zero here — see accum_entry)
@@ -1930,6 +2086,7 @@ void* pileup_window_reduce(
     for (int64_t i = 0; i < total; i++) neg_counts[i] += aff_counts[i];
     for (int64_t i = 0; i < L; i++) neg_depth[i] += aff_depth[i];
   }
+  if (prof) { t_fold = clk.since(); clk.mark(); }
   // distinct-seq max channels (I1/i1/D1/d1)
   for (size_t i = 0; i <= o.ih.msk; i++)
     if (o.ih.keys[i]) flush_indel_cell(o, o.ih.keys[i], o.ih.affc[i], o.ih.negc[i]);
@@ -1937,6 +2094,14 @@ void* pileup_window_reduce(
     uint64_t key;
     memcpy(&key, kv.first.data(), 8);
     flush_indel_cell(o, key, kv.second.first, kv.second.second);
+  }
+  if (prof) {
+    t_flush = clk.since();
+    fprintf(stderr,
+            "[decode_profile] sel=%.3f ovl=%.3f memset=%.3f loop=%.3f "
+            "fold=%.3f flush=%.3f n_reads=%lld\n",
+            t_sel, t_ovl, t_memset, t_loop, t_fold, t_flush,
+            (long long)n_reads);
   }
   h->n_reads = n_reads;
   *out_n_reads = n_reads;

@@ -121,7 +121,9 @@ LABEL_SHAPE_CUM = list(accumulate(LABEL_SHAPE))
 # batches (250) are packed into one padded device batch so XLA compiles a single
 # static-shape program; 2048 rows x 33 x 34 channels is ~9 MB fp32 and keeps the
 # MXU busy while staying well inside VMEM-friendly tiling.
-TPU_DEVICE_BATCH = 2048
+# 4096 (round 5): the tunneled chip charges ~100-300 ms latency per host
+# fetch, so fewer/larger slices win; device compute is negligible either way
+TPU_DEVICE_BATCH = 8192
 TPU_COMPUTE_DTYPE = "float32"  # models are tiny; fp32 everywhere keeps parity
 
 

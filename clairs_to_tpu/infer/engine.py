@@ -139,8 +139,18 @@ class InferenceEngine:
             self.aff_params = jax.device_put(aff_params)
             self.neg_params = jax.device_put(neg_params)
 
-        self._forward = jax.jit(self._forward_impl)
+        # production wire format: int16 AFF counts + int16 NEG-minus-AFF
+        # delta, NEG reconstructed on device.  Counts are depth-bounded small
+        # integers (create_tensor stores them as ints; rescale to float
+        # happens on device), so the f32 wire encoding wasted 2-2.7x of the
+        # tunnel/PCIe bytes per batch — the round-4 profile's device_infer
+        # was ~95% transfer.  The reference-encoding is linear per row
+        # (ref channel := -(block sum), create_tensor:223-228), hence
+        # encoded(NEG) == encoded(AFF) + encoded(NEG-AFF) exactly.
+        self._forward = jax.jit(self._forward_delta_impl)
+        self._forward_full = jax.jit(self._forward_impl)   # float fallback
         self._forward_fused = jax.jit(self._forward_fused_impl)
+        self._zero_delta = None   # device-resident int16 zeros, lazy
         if aot.aot_enabled():
             try:
                 self._aot_prepare()
@@ -155,16 +165,16 @@ class InferenceEngine:
         tunneled v5e with an unreliable persistent-cache key — with a ~25 s
         cold / ~2 s warm ahead-of-time compile keyed stably."""
         B = self.device_batch
-        x = np.zeros((B, 33, 34), np.float32)
-        cov = np.ones((B,), np.float32)
+        x = np.zeros((B, 34, 34), np.int16)
+        d = np.zeros((B, 33, 34), np.int16)
         if self._data_sharding is not None:
             # compile for the shardings run_batch actually passes — a
             # Compiled rejects inputs whose shardings disagree with the
             # ones it was lowered with
             x = jax.device_put(x, self._data_sharding)
-            cov = jax.device_put(cov, self._data_sharding)
+            d = jax.device_put(d, self._data_sharding)
         desc = dict(
-            program="forward",
+            program="forward_packed_p1",   # packed int16 in, stacked class-1 out
             mode=self.mode,
             cvt_config=repr(self.cvt_config),
             bigru_config=repr(self.bigru_config),
@@ -173,9 +183,10 @@ class InferenceEngine:
             use_pallas=self.use_pallas,
             min_rescale_cov=self.min_rescale_cov,  # traced constant
             n_devices=self.mesh.size if self.mesh is not None else 1,
+            transfer="aff_i16+delta_i16",   # wire format of the program
         )
         self._forward = aot.load_or_compile(
-            self._forward, (self.aff_params, self.neg_params, x, x, cov, cov),
+            self._forward, (self.aff_params, self.neg_params, x, d),
             desc,
         )
 
@@ -191,11 +202,41 @@ class InferenceEngine:
             probs_neg = jax.nn.softmax(logits_neg, axis=-1)
         return probs_aff, probs_neg
 
+    def _stack_p1(self, probs_aff, probs_neg):
+        # ONE output array per slice: the tunneled chip charges ~100-300 ms
+        # of round-trip latency PER host fetch (measured round 5), so the
+        # two (B,A,2) softmax outputs are fused into a single (B,2,A) of
+        # class-1 probabilities — all the host posterior consumes (class-0
+        # is 1−p by construction; the reference's predict TSV prints it as
+        # such, predict.py:121-132)
+        return jnp.stack((probs_aff[..., 1], probs_neg[..., 1]), axis=1)
+
     def _forward_impl(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
         probs_aff, probs_neg = self._net_probs(
             aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg
         )
-        return probs_aff, probs_neg
+        return self._stack_p1(probs_aff, probs_neg)
+
+    def _forward_delta_impl(self, aff_params, neg_params, packed, x_delta):
+        """Production wire program: ONE packed int16 input + NEG delta.
+
+        ``packed`` (B,34,34) int16: rows 0-32 the AFF count tensor, row 33
+        column 0/1 the AFF/NEG coverages (integral depths).  ``x_delta``
+        (B,33,34) int16 = NEG − AFF (exact: counts are integers and the
+        reference encoding is linear per row).  Packing exists because the
+        tunneled chip charges ~15-20 ms of fixed overhead PER host->device
+        transfer (measured round 5) — one buffer per slice instead of four.
+        The f32 adds happen before rescale, so numerics equal the full-view
+        path bit-for-bit for integral counts (exact in f32 below 2^24).
+        """
+        x_aff = packed[:, :33, :]
+        cov_aff = packed[:, 33, 0].astype(jnp.float32)
+        cov_neg = packed[:, 33, 1].astype(jnp.float32)
+        x_neg = x_aff.astype(jnp.float32) + x_delta.astype(jnp.float32)
+        probs_aff, probs_neg = self._net_probs(
+            aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg
+        )
+        return self._stack_p1(probs_aff, probs_neg)
 
     def _forward_fused_impl(self, aff_params, neg_params, x_aff, x_neg, cov_aff, cov_neg):
         """Forward + posterior + argmax + QUAL, all on device (bench path)."""
@@ -225,57 +266,150 @@ class InferenceEngine:
             return jax.device_put(arr, self._data_sharding)
         return arr
 
+    def _intify(self, arr):
+        """int16 wire encoding of a count tensor, or None when unsafe.
+
+        Counts are depth-bounded small integers; a float input qualifies
+        only when every value is integral and within int16 (the cast-and-
+        compare catches both — wrap-around and fractions mismatch)."""
+        if arr.dtype == np.int16:
+            return arr
+        if arr.dtype.kind in "iu":
+            if arr.size and (int(arr.max()) >= 32768 or int(arr.min()) < -32768):
+                return None
+            return arr.astype(np.int16)
+        if arr.dtype.kind == "f":
+            xi = arr.astype(np.int16)
+            if bool((xi == arr).all()):
+                return xi
+            return None
+        return None
+
+    def _zero_delta_dev(self):
+        """Device-resident int16 zero delta: identical AFF/NEG views (ilmn,
+        hifi — run_clairs_to:1248-1252's symlink) ship ONE tensor per batch;
+        the zero 'delta' transfers once per process, not per call."""
+        if self._zero_delta is None:
+            z = np.zeros((self.device_batch, 33, 34), np.int16)
+            if self._data_sharding is not None:
+                self._zero_delta = jax.device_put(z, self._data_sharding)
+            else:
+                self._zero_delta = jax.device_put(z)
+        return self._zero_delta
+
     def run_batch(self, x_aff, x_neg, cov_aff, cov_neg) -> BatchResult:
         """Full-precision path: device forward, host float64 posterior.
 
         Args: raw (unrescaled) count tensors (N,33,34) and coverages (N,).
         Arbitrary N: inputs larger than ``device_batch`` are processed in
         fixed-shape slices (one compiled program, no retraces).
+
+        Wire format: int16 AFF + int16 (NEG−AFF) delta, NEG reconstructed
+        on device (exact — integral counts, linear reference encoding); the
+        f32 full-view program remains as the fallback for non-integral
+        inputs or pileups deeper than int16 (never seen in practice).
         """
         n = x_aff.shape[0]
-        if n > self.device_batch:
-            # software pipeline: DISPATCH every fixed-shape slice first (jax
-            # dispatch and device_put are async), then consume in order — the
-            # host's f64 posterior + transfers of slice k overlap the device
-            # compute of slices k+1.., instead of ping-ponging (the round-3
-            # profile's per-slice serialization on the tunneled chip)
-            handles = []
-            for i in range(0, n, self.device_batch):
-                sl = slice(i, i + self.device_batch)
-                ni = min(self.device_batch, n - i)
-                xa = self._put(self._pad(np.asarray(x_aff[sl], np.float32)))
-                xn = self._put(self._pad(np.asarray(x_neg[sl], np.float32)))
+        identity = x_neg is x_aff
+        x_aff = np.asarray(x_aff)
+        cov_aff = np.asarray(cov_aff)
+        cov_neg = cov_aff if cov_neg is cov_aff else np.asarray(cov_neg)
+        xa16 = self._intify(x_aff)
+        ca16 = self._intify(cov_aff) if xa16 is not None else None
+        cn16 = (ca16 if cov_neg is cov_aff else
+                (self._intify(cov_neg) if ca16 is not None else None))
+        use_int = xa16 is not None and ca16 is not None and cn16 is not None
+        d16 = None
+        if use_int and not identity:
+            xn16 = self._intify(np.asarray(x_neg))
+            if xn16 is None:
+                use_int = False
+            else:
+                delta = xn16.astype(np.int32) - xa16
+                if delta.size and (int(delta.max()) >= 32768
+                                   or int(delta.min()) < -32768):
+                    use_int = False
+                else:
+                    d16 = delta.astype(np.int16)
+        if use_int:
+            # one packed buffer: AFF rows + coverage row (see
+            # _forward_delta_impl).  Row 33 cols 2.. are never read by the
+            # program — np.empty leaves them unset on purpose.
+            packed = np.empty((n, 34, 34), np.int16)
+            packed[:, :33, :] = xa16
+            packed[:, 33, 0] = ca16
+            packed[:, 33, 1] = cn16
+        # software pipeline: DISPATCH every fixed-shape slice first (jax
+        # dispatch and device_put are async), then consume in order — the
+        # host's f64 posterior + transfers of slice k overlap the device
+        # compute of slices k+1.., instead of ping-ponging (the round-3
+        # profile's per-slice serialization on the tunneled chip)
+        import os as _os
+        import time as _t
+        _prof = _os.environ.get("CLAIRS_ENGINE_PROFILE") == "1"
+        _tp0 = _t.perf_counter()
+        handles = []
+        for i in range(0, n, self.device_batch):
+            sl = slice(i, i + self.device_batch)
+            ni = min(self.device_batch, n - i)
+            if use_int:
+                pk = self._put(self._pad(packed[sl]))
+                xd = (self._zero_delta_dev() if d16 is None
+                      else self._put(self._pad(d16[sl])))
+                p1 = self._forward(self.aff_params, self.neg_params, pk, xd)
+            else:
                 ca = self._put(self._pad(np.asarray(cov_aff[sl], np.float32),
                                          value=1))
-                cn = self._put(self._pad(np.asarray(cov_neg[sl], np.float32),
-                                         value=1))
-                pa, pn = self._forward(
+                cn = ca if cov_neg is cov_aff else self._put(
+                    self._pad(np.asarray(cov_neg[sl], np.float32), value=1))
+                xa = self._put(self._pad(np.asarray(x_aff[sl], np.float32)))
+                xn = xa if identity else self._put(
+                    self._pad(np.asarray(x_neg[sl], np.float32)))
+                p1 = self._forward_full(
                     self.aff_params, self.neg_params, xa, xn, ca, cn)
-                handles.append((ni, sl, pa, pn))
-            parts = [self._consume(ni, x_aff[sl], pa, pn)
-                     for (ni, sl, pa, pn) in handles]
-            return BatchResult(
-                p_aff=np.concatenate([p.p_aff for p in parts]),
-                p_neg=np.concatenate([p.p_neg for p in parts]),
-                posterior=np.concatenate([p.posterior for p in parts]),
-                forward_acgt=np.concatenate([p.forward_acgt for p in parts]),
-                reverse_acgt=np.concatenate([p.reverse_acgt for p in parts]),
-            )
-        xa = self._put(self._pad(np.asarray(x_aff, np.float32)))
-        xn = self._put(self._pad(np.asarray(x_neg, np.float32)))
-        ca = self._put(self._pad(np.asarray(cov_aff, np.float32), value=1))
-        cn = self._put(self._pad(np.asarray(cov_neg, np.float32), value=1))
-        probs_aff, probs_neg = self._forward(
-            self.aff_params, self.neg_params, xa, xn, ca, cn
+            handles.append((ni, sl, p1))
+        # start the d2h copies of EVERY slice before consuming any: the
+        # tunneled chip's per-fetch round-trip is ~100-300 ms, so
+        # synchronous per-slice fetches serialize into seconds — async
+        # copies overlap each other and the remaining device compute
+        # (np.asarray on these outputs is also pathologically slow —
+        # measured 1.2-4 s per call on AOT-executable outputs — so
+        # _consume uses jax.device_get)
+        _tp1 = _t.perf_counter()
+        for (_, _, p1) in handles:
+            try:
+                p1.copy_to_host_async()
+            except AttributeError:
+                break
+        parts = []
+        _tc = []
+        for (ni, sl, p1) in handles:
+            _t0 = _t.perf_counter()
+            parts.append(self._consume(ni, x_aff[sl], p1))
+            _tc.append(_t.perf_counter() - _t0)
+        if _prof:
+            print(f"[engine_profile] n={n} use_int={use_int} "
+                  f"slices={len(handles)} dispatch={_tp1 - _tp0:.3f}s "
+                  f"consumes={[round(c, 3) for c in _tc]}")
+        if len(parts) == 1:
+            return parts[0]
+        return BatchResult(
+            p_aff=np.concatenate([p.p_aff for p in parts]),
+            p_neg=np.concatenate([p.p_neg for p in parts]),
+            posterior=np.concatenate([p.posterior for p in parts]),
+            forward_acgt=np.concatenate([p.forward_acgt for p in parts]),
+            reverse_acgt=np.concatenate([p.reverse_acgt for p in parts]),
         )
-        return self._consume(n, x_aff, probs_aff, probs_neg)
 
-    def _consume(self, n, x_aff_slice, probs_aff, probs_neg) -> BatchResult:
+    def _consume(self, n, x_aff_slice, p1) -> BatchResult:
         # the reference round-trips probabilities through '%.8f' text between
         # predict and call_variants (predict.py:121-132); match that rounding
-        # so the float64 posterior sees identical inputs
-        p_aff = np.round(np.asarray(probs_aff, np.float64)[:n, :, 1], 8)
-        p_neg = np.round(np.asarray(probs_neg, np.float64)[:n, :, 1], 8)
+        # so the float64 posterior sees identical inputs.  device_get (not
+        # np.asarray-with-dtype): fetch f32 bytes, convert on host — asarray
+        # on compiled-executable outputs costs seconds over the tunnel.
+        p1h = jax.device_get(p1).astype(np.float64)
+        p_aff = np.round(p1h[:n, 0], 8)
+        p_neg = np.round(p1h[:n, 1], 8)
         posterior = post.posterior_probs_np(p_aff, p_neg, self.likelihood)
         fwd, rev = recover_strand_counts(
             np.asarray(x_aff_slice)[:, cfg.FLANKING_BASE_NUM, :])
