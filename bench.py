@@ -73,7 +73,7 @@ def run_cli(tag, extra=()):
         "-T", os.path.join(BENCH_DIR, "tumor.bam"),
         "-R", os.path.join(BENCH_DIR, "ref.fa"),
         "-o", out_dir,
-        "-p", "ont", "-t", "2",
+        "-p", "ont", "-t", "4",
         "--disable_verdict",
         "--disable_indel_calling", "true",
         *extra,
@@ -278,6 +278,11 @@ def main():
         "cold_total_s": round(total_cold, 1),
         "warm_total_s": round(total_warm, 1),
         "warm_startup_s": round(total_warm - call_warm, 1),
+        # startup attribution (round-4 verdict weak #4): framework work vs
+        # the tunneled server's first-execution program load
+        "load_engines_framework_s": round(stages.get("load_engines", 0.0), 2),
+        "engine_warmup_server_s": round(
+            stages.get("engine_warmup(server)", 0.0), 2),
         "steady_calling_s": round(call_warm, 2),
         "warm_runs_cand_per_sec": [round(r[0], 1) for r in steady_runs],
         "warm_min_cand_per_sec": round(steady_runs[0][0], 1),

@@ -147,6 +147,9 @@ def get_lib():
         lib.pileup_window_filter_export.restype = None
         lib.pileup_window_filter_export.argtypes = [ctypes.c_void_p] + \
             [ctypes.c_void_p] * 10
+        lib.pileup_window_filter_export_startend.restype = None
+        lib.pileup_window_filter_export_startend.argtypes = \
+            [ctypes.c_void_p] + [ctypes.c_void_p] * 4
         lib.pileup_window_entries_count.restype = None
         lib.pileup_window_entries_count.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -685,37 +688,61 @@ class NativeWindow:
         lib.pileup_window_filter_export_assembled(
             self._h, p(nr_rel), p(nr_read), p(nr_token), p(nr_ik),
             p(nr_base), p(ck_key), p(ck_cnt), ctypes.byref(T))
-        # remaining site-independent numpy assembly
+        # remaining site-independent numpy assembly.  Arrays stay in their
+        # native int32 dtypes — the verdict kernels only index/compare with
+        # them, and the round-4 .astype(int64) copies of the 4M-column
+        # dense arrays cost ~1s/chunk on the decode worker for nothing.
         from clairs_to_tpu.postcall.hardfilter import EPS_RSE
 
-        fd = self.filter_data()
-        depth = self.filt_depth.astype(np.int64)
-        nonref = self.filt_nonref.astype(np.int64)
-        col_ins = self.filt_colins.astype(np.float64)
+        st_rel, st_read, en_rel, en_read = self.startend_data()
+        depth = self.filt_depth
+        nonref = self.filt_nonref
+        col_ins = self.filt_colins
         m = span
-        nstarts = np.bincount(fd["st_rel"], minlength=m).astype(np.int64)
-        nends = np.bincount(fd["en_rel"], minlength=m).astype(np.int64)
+        nstarts = np.bincount(st_rel, minlength=m)
+        nends = np.bincount(en_rel, minlength=m)
         side_start = nstarts > nends
         marked_len = np.where(side_start, nstarts, nends)
         colcond = (marked_len >= depth * EPS_RSE) & (depth > 0)
-        st_rel = fd["st_rel"].astype(np.int64)
-        en_rel = fd["en_rel"].astype(np.int64)
         st_keep = colcond[st_rel] & side_start[st_rel]
         en_keep = colcond[en_rel] & ~side_start[en_rel]
         rse_rel = np.concatenate([st_rel[st_keep], en_rel[en_keep]])
-        rse_read = np.concatenate(
-            [fd["st_read"][st_keep], fd["en_read"][en_keep]])
+        rse_read = np.concatenate([st_read[st_keep], en_read[en_keep]])
         ro = np.argsort(rse_rel, kind="stable")
+        cum_ins = np.empty(m + 1, np.float64)
+        cum_ins[0] = 0.0
+        np.cumsum(col_ins, dtype=np.float64, out=cum_ins[1:])
         self._fassembly = dict(
-            nr_rel=nr_rel, nr_read=nr_read.astype(np.int64),
+            nr_rel=nr_rel, nr_read=nr_read,
             nr_token=nr_token, nr_ik=nr_ik, nr_base=nr_base,
             ck_key=ck_key, ck_cnt=ck_cnt, T=int(T.value),
             depth=depth, nonref=nonref, col_ins=col_ins,
             col_only_ref=(depth > 0) & (nonref == 0),
-            cum_ins=np.concatenate([[0.0], np.cumsum(col_ins)]),
-            rse_rel=rse_rel[ro], rse_read=rse_read[ro].astype(np.int64),
+            cum_ins=cum_ins,
+            rse_rel=rse_rel[ro], rse_read=rse_read[ro],
         )
         return self._fassembly
+
+    def startend_data(self):
+        """Export only the read start/end mark streams (not the full
+        non-ref stream — filter_assembly gets that via the assembled
+        export and does not need a second copy)."""
+        lib = get_lib()
+        n_nr = ctypes.c_int64(0)
+        n_st = ctypes.c_int64(0)
+        n_en = ctypes.c_int64(0)
+        lib.pileup_window_filter_sizes(
+            self._h, ctypes.byref(n_nr), ctypes.byref(n_st),
+            ctypes.byref(n_en))
+        ns, ne = n_st.value, n_en.value
+        st_rel = np.empty(ns, np.int32)
+        st_read = np.empty(ns, np.int32)
+        en_rel = np.empty(ne, np.int32)
+        en_read = np.empty(ne, np.int32)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        lib.pileup_window_filter_export_startend(
+            self._h, p(st_rel), p(st_read), p(en_rel), p(en_read))
+        return st_rel, st_read, en_rel, en_read
 
     def filter_data(self):
         """Export the filter-view streams accumulated during the decode.

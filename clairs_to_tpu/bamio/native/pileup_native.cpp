@@ -2476,6 +2476,21 @@ void pileup_window_filter_export(void* wh, int32_t* nr_rel, int32_t* nr_read,
   cp(h->en_read, en_read);
 }
 
+// Start/end mark streams only (filter_assembly does not need a second
+// copy of the non-ref stream — it gets the assembled one).
+void pileup_window_filter_export_startend(void* wh, int32_t* st_rel,
+                                          int32_t* st_read, int32_t* en_rel,
+                                          int32_t* en_read) {
+  auto* h = (WindowHandle*)wh;
+  auto cp = [](auto& v, auto* dst) {
+    if (!v.empty()) memcpy(dst, v.data(), v.size() * sizeof(v[0]));
+  };
+  cp(h->st_rel, st_rel);
+  cp(h->st_read, st_read);
+  cp(h->en_rel, en_rel);
+  cp(h->en_read, en_read);
+}
+
 void pileup_window_release(void* wh) { delete (WindowHandle*)wh; }
 
 }  // extern "C"

@@ -582,11 +582,15 @@ class PileupEngine:
             self._ref_u8 = lut[
                 np.frombuffer(self.ref_seq.encode("ascii"), np.uint8)
             ]
+        cached = getattr(self, "_ref_idx_cache", None)
+        if cached is not None and cached[0] == (region_start, L):
+            return cached[1]   # AFF and NEG encodes share the same window
         start = region_start - self.ref_start
         out = np.zeros(L, np.int64)
         lo, hi = max(start, 0), min(start + L, len(self._ref_u8))
         if hi > lo:
             out[lo - start : hi - start] = self._ref_u8[lo:hi]
+        self._ref_idx_cache = ((region_start, L), out)
         return out
 
     def apply_reference_encoding(self, counts, region_start):

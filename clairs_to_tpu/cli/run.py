@@ -278,8 +278,14 @@ def load_engines(args, mesh=None):
             if lik_path
             else uniform_likelihood_data(n_alleles)
         )
+        device_batch = args.device_batch
+        if device_batch == cfg.TPU_DEVICE_BATCH and jax.default_backend() != "tpu":
+            # the 8192 default amortizes the tunneled TPU's per-transfer
+            # round trip; on CPU (tests, dryruns) it only slows the jit
+            # compile — cap unless the user asked for it explicitly
+            device_batch = min(device_batch, 1024)
         return InferenceEngine(
-            aff, neg, lik, mode=mode, device_batch=args.device_batch, mesh=mesh,
+            aff, neg, lik, mode=mode, device_batch=device_batch, mesh=mesh,
             cvt_config=cvt_cfg, bigru_config=gru_cfg,
             matmul_precision=getattr(args, "matmul_precision", "highest"),
         )
@@ -861,7 +867,14 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
         snv_min_af=args.snv_min_af,
         indel_min_af=args.indel_min_af,
         min_coverage=args.min_coverage,
-        qual_cutoff=snv_q,
+        # the reference's call_variants runs with --qual 0 (its argparse
+        # default, call_variants.py:888 — the driver never passes --qual to
+        # it), so EVERY variant row is PASS at the call stage and the
+        # filter stages see all of them; the real qual gating happens in
+        # postprocess (run_clairs_to:1516-1530).  Found by the composition
+        # golden (tests/test_reference_composition.py): gating early made
+        # the filter stage skip sub-cutoff rows the reference annotates.
+        qual_cutoff=0,
         show_ref=args.print_ref_calls,
         select_indel_candidates=call_indels,
         max_indel_length=args.max_indel_length,
@@ -909,13 +922,16 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
     options.precompute_filter_assembly = (
         (apply_hap_filter or apply_postfilter)
         and os.environ.get("CLAIRS_TO_TPU_PRECOMPUTE_ASSEMBLY", "1") != "0")
-    # decode-ahead workers: one per spare physical core, capped (each holds
+    # decode-ahead workers: up to one per physical core, capped (each holds
     # its own native stream; BAI fast-seek keeps dynamic chunk assignment
-    # cheap). On this 2-CPU build box this resolves to 1 (the round-3
-    # loader/compute split); many-core production hosts fan out decode.
+    # cheap).  The main thread no longer competes for a core — with the
+    # dispatch-ahead chunk loop it spends most of its wall idle in device
+    # round-trip waits (GIL released), so decode can use every core:
+    # measured on the 2-core box, 2 workers + pipelining took the 8-chunk
+    # run from 1019 to 3147 cand/s with a byte-identical VCF.
     options.decode_workers = int(os.environ.get(
         "CLAIRS_TO_TPU_DECODE_WORKERS",
-        max(1, min(args.threads - 1, (os.cpu_count() or 2) - 1, 4))))
+        max(1, min(args.threads - 1, (os.cpu_count() or 2), 4))))
     pipe = CallingPipeline(
         fasta, args.tumor_bam_fn, None, None, options,
         metrics=metrics,
@@ -965,11 +981,15 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
     _trace = device_trace(args.trace_dir)
     _trace.__enter__()
 
-    for ch, _ in chunk_iter:
-        _t_chunk = time.time()
-        sp_path = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
-        ip_path = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
-        res = pipe.call_chunk(ch)
+    # one-chunk dispatch-ahead pipeline: chunk N's device round trip (multi-
+    # hundred ms each on the tunneled chip) overlaps chunk N+1's host-side
+    # candidate prep + dispatch — without this, an 8-chunk run paid ~8 full
+    # round trips serially (the round-4 8-chunk inversion)
+    _last_done = [time.time()]
+
+    def _finalize_chunk(ch, pending):
+        nonlocal n_cand
+        res = pipe.finish_chunk(pending)
         n_cand += res.n_candidates
 
         # long-read: internal phasing + 9-verdict haplotype filtering; ilmn:
@@ -980,7 +1000,7 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
                     pipe, ch, res, apply_hap_filter, apply_postfilter, args
                 )
 
-        sp = sp_path
+        sp = os.path.join(vcf_out, f"p_snv_{ch.ctg_name}_{ch.chunk_id}.vcf")
         w = VcfWriter(sp, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
                       sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
         for row in res.snv_rows:
@@ -988,7 +1008,7 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
         w.close()
         snv_paths.append(sp)
         if call_indels:
-            ip = ip_path
+            ip = os.path.join(vcf_out, f"p_indel_{ch.ctg_name}_{ch.chunk_id}.vcf")
             w = VcfWriter(ip, ctg_name=ch.ctg_name, ref_fn=args.ref_fn,
                           sample_name=args.sample_name, show_ref_calls=args.print_ref_calls)
             for row in res.indel_rows:
@@ -1001,9 +1021,20 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
         if not args.disable_verdict:
             _accumulate_verdict_counts(pipe, ch, res, resource_loci, verdict_acc)
         pipe.evict_views(ch)
+        now = time.time()
         print(f"[INFO] {ch.ctg_name} chunk {ch.chunk_id + 1}/{ch.chunk_num}: "
               f"{len(res.snv_rows)} SNV rows, {len(res.indel_rows)} Indel rows "
-              f"({res.n_candidates} candidates, {time.time() - _t_chunk:.2f}s)")
+              f"({res.n_candidates} candidates, {now - _last_done[0]:.2f}s)")
+        _last_done[0] = now
+
+    inflight = None
+    for ch, _ in chunk_iter:
+        pending = pipe.dispatch_chunk(ch)
+        prev, inflight = inflight, (ch, pending)
+        if prev is not None:
+            _finalize_chunk(*prev)
+    if inflight is not None:
+        _finalize_chunk(*inflight)
     _trace.__exit__(None, None, None)
     _calling_stage.__exit__(None, None, None)
 

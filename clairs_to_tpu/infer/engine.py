@@ -300,6 +300,14 @@ class InferenceEngine:
     def run_batch(self, x_aff, x_neg, cov_aff, cov_neg) -> BatchResult:
         """Full-precision path: device forward, host float64 posterior.
 
+        Synchronous convenience wrapper over ``run_batch_async`` — see
+        there for the wire format and pipelining story.
+        """
+        return self.run_batch_async(x_aff, x_neg, cov_aff, cov_neg).result()
+
+    def run_batch_async(self, x_aff, x_neg, cov_aff, cov_neg) -> "PendingBatch":
+        """Dispatch a batch; the returned PendingBatch's .result() waits.
+
         Args: raw (unrescaled) count tensors (N,33,34) and coverages (N,).
         Arbitrary N: inputs larger than ``device_batch`` are processed in
         fixed-shape slices (one compiled program, no retraces).
@@ -308,6 +316,11 @@ class InferenceEngine:
         on device (exact — integral counts, linear reference encoding); the
         f32 full-view program remains as the fallback for non-integral
         inputs or pileups deeper than int16 (never seen in practice).
+
+        The async split exists because the tunneled chip charges a multi-
+        hundred-ms round trip per batch: callers dispatch chunk N+1 (or do
+        other host work) between dispatch and result of chunk N, hiding
+        the wait entirely (cli/run.py's chunk loop).
         """
         n = x_aff.shape[0]
         identity = x_neg is x_aff
@@ -381,25 +394,11 @@ class InferenceEngine:
                 p1.copy_to_host_async()
             except AttributeError:
                 break
-        parts = []
-        _tc = []
-        for (ni, sl, p1) in handles:
-            _t0 = _t.perf_counter()
-            parts.append(self._consume(ni, x_aff[sl], p1))
-            _tc.append(_t.perf_counter() - _t0)
         if _prof:
             print(f"[engine_profile] n={n} use_int={use_int} "
-                  f"slices={len(handles)} dispatch={_tp1 - _tp0:.3f}s "
-                  f"consumes={[round(c, 3) for c in _tc]}")
-        if len(parts) == 1:
-            return parts[0]
-        return BatchResult(
-            p_aff=np.concatenate([p.p_aff for p in parts]),
-            p_neg=np.concatenate([p.p_neg for p in parts]),
-            posterior=np.concatenate([p.posterior for p in parts]),
-            forward_acgt=np.concatenate([p.forward_acgt for p in parts]),
-            reverse_acgt=np.concatenate([p.reverse_acgt for p in parts]),
-        )
+                  f"slices={len(handles)} dispatch={_tp1 - _tp0:.3f}s")
+        return PendingBatch(self, handles, x_aff)
+
 
     def _consume(self, n, x_aff_slice, p1) -> BatchResult:
         # the reference round-trips probabilities through '%.8f' text between
@@ -429,6 +428,35 @@ class InferenceEngine:
         cn = self._put(self._pad(np.asarray(cov_neg, np.float32), value=1))
         return self._forward_fused(self.aff_params, self.neg_params, xa, xn, ca, cn)
 
+
+class PendingBatch:
+    """A dispatched run_batch: device slices in flight, host copies started."""
+
+    def __init__(self, engine, handles, x_aff):
+        self._engine = engine
+        self._handles = handles
+        self._x_aff = x_aff
+        self._result = None
+
+    def result(self) -> BatchResult:
+        if self._result is not None:
+            return self._result
+        parts = [self._engine._consume(ni, self._x_aff[sl], p1)
+                 for (ni, sl, p1) in self._handles]
+        if len(parts) == 1:
+            res = parts[0]
+        else:
+            res = BatchResult(
+                p_aff=np.concatenate([p.p_aff for p in parts]),
+                p_neg=np.concatenate([p.p_neg for p in parts]),
+                posterior=np.concatenate([p.posterior for p in parts]),
+                forward_acgt=np.concatenate([p.forward_acgt for p in parts]),
+                reverse_acgt=np.concatenate([p.reverse_acgt for p in parts]),
+            )
+        self._result = res
+        self._handles = None
+        self._x_aff = None
+        return res
 
 def make_mesh(devices=None, axis_name="data") -> Mesh:
     """1-D data-parallel mesh over all local devices (SURVEY.md §5.8)."""

@@ -85,6 +85,30 @@ class ChunkResult:
     n_candidates: int = 0
 
 
+@dataclass
+class PendingChunkCall:
+    """A dispatched chunk: device batches in flight, host state retained.
+
+    Produced by ``dispatch_chunk``; ``finish_chunk`` consumes it.  The
+    split lets the CLI overlap chunk N's device round trip (multi-hundred
+    ms on the tunneled chip) with chunk N+1's host-side candidate prep."""
+
+    chunk: Chunk
+    n_candidates: int = 0
+    snv_job: Optional[dict] = None     # _dispatch_positions output
+    indel_job: Optional[dict] = None
+
+
+class _Resolved:
+    """Pre-resolved PendingBatch stand-in for synchronous engines."""
+
+    def __init__(self, res):
+        self._res = res
+
+    def result(self):
+        return self._res
+
+
 class CallingPipeline:
     """Single-host pipeline: BAM chunk -> candidates -> tensors -> calls."""
 
@@ -363,6 +387,9 @@ class CallingPipeline:
         return contextlib.nullcontext()
 
     def call_chunk(self, chunk: Chunk) -> ChunkResult:
+        return self.finish_chunk(self.dispatch_chunk(chunk))
+
+    def dispatch_chunk(self, chunk: Chunk) -> PendingChunkCall:
         opt = self.opt
         with self._stage("decode_tensor_build"):
             pe, aff_counts, neg_counts, region_start, region_end = \
@@ -410,32 +437,39 @@ class CallingPipeline:
             # entry (extract_candidates_calling.py:352-363)
             self._dump_alt_fn(chunk, sorted(infos), infos)
 
-        result = ChunkResult(chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
-
-        result.snv_rows = self._call_positions(
+        pending = PendingChunkCall(
+            chunk=chunk, n_candidates=len(snv_pos) + len(indel_pos))
+        pending.snv_job = self._dispatch_positions(
             pe, chunk, snv_pos, aff_counts, neg_counts, region_start, region_end,
             self.snv_engine, mode="snv", show_ref_at=set(requested),
         )
         if opt.select_indel_candidates and self.indel_engine is not None:
-            result.indel_rows = self._call_positions(
+            pending.indel_job = self._dispatch_positions(
                 pe, chunk, indel_pos, aff_counts, neg_counts, region_start, region_end,
                 self.indel_engine, mode="indel",
             )
+        return pending
+
+    def finish_chunk(self, pending: PendingChunkCall) -> ChunkResult:
+        result = ChunkResult(chunk=pending.chunk,
+                             n_candidates=pending.n_candidates)
+        result.snv_rows = self._finish_positions(pending.snv_job)
+        result.indel_rows = self._finish_positions(pending.indel_job)
         return result
 
-    def _call_positions(
+    def _dispatch_positions(
         self, pe, chunk, positions, aff_counts, neg_counts, region_start,
         region_end, engine, mode, show_ref_at=frozenset(),
     ):
         if not positions:
-            return []
+            return None
         # windows fully inside the computed region only (create_tensor:540-543)
         positions = [
             p for p in positions
             if p - FLANK >= region_start and p + FLANK + 1 <= region_end
         ]
         if not positions:
-            return []
+            return None
         with self._stage("alt_info"):
             aff_alt = pe.alt_info_at(positions, min_bq=self.aff_min_bq)
             if neg_counts is aff_counts:
@@ -456,14 +490,35 @@ class CallingPipeline:
                    np.array([neg_alt[p][1] for p in positions], np.float32))
 
         with self._stage("device_infer"):
-            batch = engine.run_batch(x_aff, x_neg, cov_aff, cov_neg)
+            run_async = getattr(engine, "run_batch_async", None)
+            if run_async is not None:
+                pending = run_async(x_aff, x_neg, cov_aff, cov_neg)
+            else:
+                # engine stubs (tests' torch oracle) expose only run_batch
+                res = engine.run_batch(x_aff, x_neg, cov_aff, cov_neg)
+                pending = _Resolved(res)
+        return dict(
+            pending=pending, positions=positions, aff_alt=aff_alt,
+            pe=pe, chunk=chunk, mode=mode, show_ref_at=show_ref_at,
+        )
+
+    def _finish_positions(self, job):
+        if job is None:
+            return []
+        positions = job["positions"]
+        pe = job["pe"]
+        aff_alt = job["aff_alt"]
+        mode = job["mode"]
+        show_ref_at = job["show_ref_at"]
+        with self._stage("device_infer"):
+            batch = job["pending"].result()
         if self.opt.predict_fn:
             self._dump_probabilities(
-                chunk, positions, pe, aff_alt, batch, mode
+                job["chunk"], positions, pe, aff_alt, batch, mode
             )
         records = [
             CandidateRecord(
-                chrom=chunk.ctg_name,
+                chrom=job["chunk"].ctg_name,
                 pos=p + 1,  # VCF 1-based
                 ref_base=pe._ref_base(p),
                 alt_info=aff_alt[p][0],
