@@ -99,6 +99,61 @@ def run_cli(tag, extra=()):
         summary["total_seconds"], summary["stages"], chunk_rates
 
 
+FULL_DIR = "/tmp/clairs_bench_full_v5"
+
+
+def build_full_workload():
+    """SNV+indel+Verdict workload: 4 Mb @ 60x with somatic indels and a
+    dense germline-het background (Verdict's G1000-fallback loci)."""
+    from clairs_to_tpu.bamio import simulate
+
+    marker = os.path.join(FULL_DIR, "DONE_v5")
+    if os.path.exists(marker):
+        return FULL_DIR
+    simulate.make_dataset(
+        FULL_DIR, seed=13, genome_len=4_000_000, coverage=60,
+        read_length=800, n_snv=240, n_indel=160, n_germline=3600,
+        error_rate=0.01, af_choices=(0.1, 0.15, 0.25, 0.4),
+        somatic_hap_aware=True,
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return FULL_DIR
+
+
+def run_full_pipeline(tag):
+    """Full chain: SNV + indel calling + filters + Verdict (no disables)."""
+    out_dir = os.path.join(FULL_DIR, f"out_{tag}")
+    cmd = [
+        sys.executable, "-m", "clairs_to_tpu", "run",
+        "-T", os.path.join(FULL_DIR, "tumor.bam"),
+        "-R", os.path.join(FULL_DIR, "ref.fa"),
+        "-o", out_dir,
+        "-p", "ont", "-t", "4",
+    ]
+    proc = subprocess.run(
+        cmd, cwd="/root/repo", env=dict(os.environ), capture_output=True,
+        text=True, timeout=1800,
+    )
+    m = re.search(r"RunMetricsSummary: (\{.*\})", proc.stdout)
+    if not m:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-1500:] + "\n")
+        return None
+    summary = json.loads(m.group(1))
+    cands = summary["counters"].get("candidates", 0)
+    stages = summary["stages"]
+    # wall attributable to per-candidate work: calling + the post-calling
+    # whole-VCF stages (verdict/pon/postprocess run after the chunk loop)
+    work = sum(stages.get(k, 0.0) for k in
+               ("calling", "verdict", "pon_tagging", "merge"))
+    if work <= 0:
+        work = summary["total_seconds"]
+    return dict(cands=cands, work_s=round(work, 2),
+                total_s=round(summary["total_seconds"], 2),
+                stages={k: round(v, 2) for k, v in stages.items()},
+                rate=round(cands / work, 1) if work > 0 else 0.0)
+
+
 def _flagship_engine(device_batch):
     from clairs_to_tpu.infer.engine import InferenceEngine
     from clairs_to_tpu.ops.posterior import load_likelihood_matrix
@@ -260,6 +315,13 @@ def main():
     # outliers), skip the auxiliary sweeps so the ONE JSON line the driver
     # captures is never lost to a harness timeout
     aux_ok = (time.time() - _t_start) < 900
+    # full-pipeline figure (round-5 verdict item 4): SNV + indel + Verdict,
+    # no stage disabled — run twice, report the second (warm) run
+    full = None
+    if aux_ok:
+        build_full_workload()
+        run_full_pipeline("cold")
+        full = run_full_pipeline("warm")
     sweep = measure_parity_path() if aux_ok else {}
     device = measure_device_only() if aux_ok else 0.0
     ref = measure_reference(cands2)
@@ -298,6 +360,8 @@ def main():
                        "'calling' (and per-chunk rates)",
         "steady_chunk_candidates_per_sec": round(steady_chunk, 1),
         "steady_8chunk_cand_per_sec": round(steady_8chunk, 1),
+        "full_pipeline_cand_per_sec": full["rate"] if full else None,
+        "full_pipeline": full,
         "chunk_rates": [[c, s] for (c, s) in chunk_rates],
         "candidates": cands2,
         "parity_infer_per_sec": sweep.get("2048"),

@@ -39,6 +39,13 @@ ap.add_argument("--mix_synth", type=int, default=6000,
                 help="synth tensors mixed in for volume/regularization")
 ap.add_argument("--build_only", action="store_true")
 ap.add_argument("--cpu", action="store_true")
+ap.add_argument("--domain_rand", action="store_true",
+                help="attach DOMAIN-RANDOMIZED structured-error profiles "
+                     "(homopolymer/strand/decay/burst params sampled from "
+                     "ranges DISJOINT from the held-out eval point in "
+                     "bench/profiles.py) to every second dataset — the "
+                     "round-5 robustness recipe: the model sees structured "
+                     "error without ever seeing the eval configuration")
 a = ap.parse_args()
 
 if a.cpu or a.build_only:
@@ -51,23 +58,52 @@ os.makedirs(a.out, exist_ok=True)
 TENSORS = os.path.join(a.out, "tensors.npz")
 
 
+def _rand_profile(rng):
+    """Structured-error params from ranges DISJOINT from the eval point.
+
+    The held-out ONT eval profile is fixed at hp=4.0 strand=1.6 decay=6.0
+    burst_rate=0.08 burst_len=40 burst_qual=8 (bench/profiles.py:16-19);
+    every dimension here samples strictly below or strictly above that
+    value, so training never sees the eval configuration — robustness must
+    come from generalizing over the error-structure FAMILY."""
+    def pick(lo1, hi1, lo2, hi2):
+        return float(rng.uniform(lo1, hi1) if rng.random() < 0.5
+                     else rng.uniform(lo2, hi2))
+
+    return dict(
+        hp_error_mult=pick(1.5, 3.2, 5.0, 8.0),
+        strand_err_mult=pick(1.0, 1.45, 1.8, 2.6),
+        qual_decay=pick(0.0, 4.5, 8.0, 14.0),
+        burst_rate=pick(0.0, 0.055, 0.11, 0.2),
+        burst_len=int(pick(10, 32, 50, 90)),
+        burst_qual=int(pick(4, 7, 10, 14)),
+    )
+
+
 def build_tensors():
     """Simulate PLATFORM-SHAPED genomes (read length / error rate / coverage
     from bench/profiles.py, WITHOUT the eval-grade error structure — that
     stays held out for evaluation) on seeds disjoint from the eval seeds,
     and extract labeled dual-view tensors.  Without the platform shaping,
     ilmn and hifi would train on byte-identical data (both families run
-    min_bq=0, and the simulator is platform-blind)."""
+    min_bq=0, and the simulator is platform-blind).
+
+    With --domain_rand, every second dataset gets a randomized structured-
+    error profile (see _rand_profile) — plain and structured data mix in
+    both the training and the calibration split."""
     from clairs_to_tpu.bench.profiles import PROFILES
 
     shape = dict(PROFILES[a.platform])
     shape.pop("eval_profile", None)
     xs, xns, covs, soms = [], [], [], []
     for which, seeds in (("train", a.train_seeds), ("cal", a.cal_seeds)):
-        for seed in (int(s) for s in seeds.split(",")):
+        for k, seed in enumerate(int(s) for s in seeds.split(",")):
             d = os.path.join(a.out, f"ds_{seed}")
             kw = dict(seed=seed, genome_len=a.genome_len,
                       n_germline=max(a.genome_len // 4000, 6), **shape)
+            if a.domain_rand and k % 2 == 1:
+                kw["eval_profile"] = _rand_profile(
+                    np.random.default_rng(seed * 7 + 3))
             if a.mode == "indel":
                 kw.update(n_snv=a.n_var // 4, n_indel=a.n_var)
             else:
@@ -92,7 +128,7 @@ def build_tensors():
 def _build_params_str():
     return (f"platform={a.platform};mode={a.mode};train_seeds={a.train_seeds};"
             f"cal_seeds={a.cal_seeds};genome_len={a.genome_len};"
-            f"n_var={a.n_var}")
+            f"n_var={a.n_var};domain_rand={a.domain_rand}")
 
 
 if os.path.exists(TENSORS):
