@@ -492,11 +492,14 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             site_positions=[r["POS"] - 1 for r in pass_rows],
             fisher=fisher,
         )
-        verdicts = {}
-        for row in pass_rows:
-            verdicts[(row["CHROM"], row["POS"])] = engine.verdict(
-                row["POS"] - 1, row["REF"], row["ALT"], af=row["AF"]
-            )
+        batch = engine.verdict_batch(
+            (row["POS"] - 1, row["REF"], row["ALT"], row["AF"])
+            for row in pass_rows
+        )
+        verdicts = {
+            (row["CHROM"], row["POS"]): batch[row["POS"] - 1]
+            for row in pass_rows
+        }
         apply_haplotype_filters(res.snv_rows, verdicts)
     elif apply_postfilter:
         # The reference always runs the realignment filter for ilmn before
@@ -528,11 +531,13 @@ def _apply_chunk_filters(pipe, chunk, res, apply_hap_filter, apply_postfilter, a
             site_positions=[r["POS"] - 1 for r in pass_rows],
             fisher=fisher,
         )
-        verdicts = {}
-        for row in pass_rows:
-            verdicts[(row["CHROM"], row["POS"])] = engine.verdict(
-                row["POS"] - 1, row["REF"], row["ALT"]
-            )
+        batch = engine.verdict_batch(
+            (row["POS"] - 1, row["REF"], row["ALT"]) for row in pass_rows
+        )
+        verdicts = {
+            (row["CHROM"], row["POS"]): batch[row["POS"] - 1]
+            for row in pass_rows
+        }
         apply_hard_filters(res.snv_rows, verdicts)
 
 

@@ -165,6 +165,56 @@ class HaplotypeFilterEngine:
             return ik == 2
         return np.zeros(len(rows), bool)
 
+    def verdict_batch(self, sites):
+        """Run verdicts for many sites: {pos0: HaplotypeVerdict}.
+
+        sites: iterable of (pos0, ref_base, alt_base, af).  SNV sites go
+        through the native batch kernel (postcall/verdict_native.cpp) when
+        it is available and the default Fisher test is selected — same
+        verdicts/p-values as ``verdict`` (cross-validated by
+        tests/test_verdict_native.py); indel sites and the
+        --exact_reference_fisher mode use the per-site Python path."""
+        sites = list(sites)
+        out = {}
+        native_ok = self.fisher is fisher_exact
+        snv = [(p, rb, ab, af) for (p, rb, ab, af) in sites
+               if len(rb) == 1 and len(ab) == 1 and ab in "ACGT"]
+        rest = [s for s in sites
+                if not (len(s[1]) == 1 and len(s[2]) == 1 and s[2] in "ACGT")]
+        if native_ok and snv:
+            from clairs_to_tpu.postcall import verdict_native as vn
+
+            if vn.available() and all(
+                len(ab) == 1 and ab in "ACGT"
+                for (_p, ab) in self.hetero_germline + self.homo_germline
+            ):
+                batch = vn.NativeVerdictBatch(
+                    self.ix, mode=1, max_co_exist=self.max_co_exist,
+                    disable_rse=self.disable_rse,
+                    hetero_germline=self.hetero_germline,
+                    homo_germline=self.homo_germline,
+                    ont_min_bq=cfg.ONT_MIN_BQ, min_mq_thresh=cfg.MIN_MQ)
+                flags, pvals, tables = batch.run(
+                    [s[0] for s in snv],
+                    ["ACGT".find(s[2]) for s in snv],
+                    [1.0 if s[3] is None else s[3] for s in snv])
+                batch.close()
+                for i, (p0, _rb, _ab, _af) in enumerate(snv):
+                    v = HaplotypeVerdict()
+                    f = int(flags[i])
+                    for b, name in enumerate(HaplotypeVerdict.FIELDS):
+                        setattr(v, name, bool(f & (1 << b)))
+                    v.phaseable = bool(f & (1 << 9))
+                    v.strand_bias_p = float(pvals[i])
+                    t = tables[i]
+                    v.strand_table = ((int(t[0]), int(t[1])),
+                                      (int(t[2]), int(t[3])))
+                    out[p0] = v
+                snv = []
+        for (p0, rb, ab, af) in snv + rest:
+            out[p0] = self.verdict(p0, rb, ab, af=af)
+        return out
+
     def verdict(self, pos0, ref_base, alt_base, af=None):
         ix = self.ix
         v = HaplotypeVerdict()

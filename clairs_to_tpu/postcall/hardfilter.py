@@ -739,6 +739,50 @@ class HardFilterEngine:
         self.ix = _make_filter_index(pileup_engine, min_bq, min_mq,
                                      site_positions)
 
+    def verdict_batch(self, sites):
+        """Run verdicts for many sites: {pos0: FilterVerdict}.
+
+        sites: iterable of (pos0, ref_base, alt_base).  SNV sites use the
+        native batch kernel (postcall/verdict_native.cpp) when available
+        under the default Fisher test — identical verdicts/p-values to
+        ``verdict`` (tests/test_verdict_native.py); indels and the
+        --exact_reference_fisher mode take the per-site Python path."""
+        sites = list(sites)
+        out = {}
+        snv = [s for s in sites
+               if len(s[1]) == 1 and len(s[2]) == 1 and s[2] in "ACGT"]
+        rest = [s for s in sites
+                if not (len(s[1]) == 1 and len(s[2]) == 1 and s[2] in "ACGT")]
+        if self.fisher is fisher_exact and snv:
+            from clairs_to_tpu.postcall import verdict_native as vn
+
+            if vn.available():
+                batch = vn.NativeVerdictBatch(
+                    self.ix, mode=0, max_co_exist=self.max_co_exist,
+                    disable_rse=self.disable_rse)
+                flags, pvals, tables = batch.run(
+                    [s[0] for s in snv],
+                    ["ACGT".find(s[2]) for s in snv],
+                    [1.0] * len(snv))
+                batch.close()
+                # native bit layout: 2 rse, 3 co_exist, 7 strand (bits 0/1/
+                # 4/5/6 are haplotype-mode verdicts, always pass in mode 0)
+                for i, (p0, _rb, _ab) in enumerate(snv):
+                    v = FilterVerdict()
+                    f = int(flags[i])
+                    v.pass_read_start_end = bool(f & (1 << 2))
+                    v.pass_co_exist = bool(f & (1 << 3))
+                    v.pass_strand_bias = bool(f & (1 << 7))
+                    v.strand_bias_p = float(pvals[i])
+                    t = tables[i]
+                    v.strand_table = ((int(t[0]), int(t[1])),
+                                      (int(t[2]), int(t[3])))
+                    out[p0] = v
+                snv = []
+        for (p0, rb, ab) in snv + rest:
+            out[p0] = self.verdict(p0, rb, ab)
+        return out
+
     def verdict(self, pos0, ref_base, alt_base):
         """Run the four verdicts for a call at 0-based pos0."""
         ix = self.ix
