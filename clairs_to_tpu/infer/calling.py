@@ -86,18 +86,27 @@ def call_from_posterior(
     mode: str = "snv",
     show_ref: bool = False,
     qual_cutoff: Optional[float] = 0,
+    best_idx: Optional[int] = None,
+    best_p: Optional[float] = None,
+    quality: Optional[float] = None,
 ):
     """Decide the call for one candidate; returns a VcfWriter row dict or None.
 
     mode='snv' corresponds to the reference's disable_indel_calling=True run
     (call_variants.py:167-224); mode='indel' to the 6-allele run (:226-304).
+
+    best_idx/best_p/quality: batch-vectorized argmax/max/QUAL precomputed by
+    the caller (identical values to the per-row computation — same argmax
+    tie order, same quality_score_np rounding); left None they are derived
+    here.
     """
     alt_dict, read_depth = decode_alt_info(record.alt_info)
     reference_base = record.ref_base
     alternate_base = reference_base
 
-    best_idx = int(np.argmax(posterior))
-    best_p = float(np.max(posterior))
+    if best_idx is None:
+        best_idx = int(np.argmax(posterior))
+        best_p = float(np.max(posterior))
 
     if mode == "snv":
         is_variant = ACGT[best_idx] != reference_base
@@ -165,7 +174,8 @@ def call_from_posterior(
 
     # quality (call_variants.py:417-586: every reachable branch scores the
     # argmax posterior)
-    quality_score = float(quality_score_np(best_p))
+    quality_score = float(quality_score_np(best_p)) if quality is None \
+        else quality
     if is_reference:
         filtration = "RefCall"
     elif qual_cutoff is None or quality_score >= float(qual_cutoff):

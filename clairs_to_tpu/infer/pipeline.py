@@ -479,12 +479,16 @@ class CallingPipeline:
 
         # keep the windows in their integer count dtype — the engine ships
         # int16 AFF + int16 NEG-delta over the wire (2-2.7x fewer bytes than
-        # the f32 encoding) and reconstructs/rescales on device
-        x_aff = np.stack([self._window(aff_counts, p, region_start) for p in positions])
+        # the f32 encoding) and reconstructs/rescales on device.  One fancy-
+        # index gather replaces the per-site np.stack loop (0.6s -> ~0.05s
+        # per 9.5k-site chunk; rows are contiguous so the take is C-speed)
+        rel = np.asarray(positions, np.int64) - region_start
+        rows = rel[:, None] + np.arange(-FLANK, FLANK + 1)[None, :]
+        x_aff = aff_counts[rows, : cfg.PILEUP_CHANNEL_SIZE]
         if neg_counts is aff_counts:
             x_neg = x_aff   # identical views: ONE transfer (ilmn/hifi)
         else:
-            x_neg = np.stack([self._window(neg_counts, p, region_start) for p in positions])
+            x_neg = neg_counts[rows, : cfg.PILEUP_CHANNEL_SIZE]
         cov_aff = np.array([aff_alt[p][1] for p in positions], np.float32)
         cov_neg = (cov_aff if neg_alt is aff_alt else
                    np.array([neg_alt[p][1] for p in positions], np.float32))
@@ -527,16 +531,28 @@ class CallingPipeline:
         ]
         rows = []
         from clairs_to_tpu.infer.calling import call_from_posterior
+        from clairs_to_tpu.ops.posterior import quality_score_np
 
+        # batch-vectorized argmax/max/QUAL (bitwise-identical values; cuts
+        # ~9k per-row numpy dispatches per chunk)
+        post = np.asarray(batch.posterior)
+        best_idx = np.argmax(post, axis=1)
+        best_p = post[np.arange(len(post)), best_idx]
+        quals = quality_score_np(best_p)
+        fwd = np.asarray(batch.forward_acgt).tolist()
+        rev = np.asarray(batch.reverse_acgt).tolist()
         for i, rec in enumerate(records):
             row = call_from_posterior(
                 rec,
-                batch.posterior[i],
-                batch.forward_acgt[i],
-                batch.reverse_acgt[i],
+                post[i],
+                fwd[i],
+                rev[i],
                 mode=mode,
                 show_ref=self.opt.show_ref or (positions[i] in show_ref_at),
                 qual_cutoff=self.opt.qual_cutoff,
+                best_idx=int(best_idx[i]),
+                best_p=float(best_p[i]),
+                quality=float(quals[i]),
             )
             if row is not None:
                 rows.append(row)
