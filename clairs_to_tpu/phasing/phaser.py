@@ -62,22 +62,30 @@ def _site_read_alleles(pileup_engine, het_sites, min_bq=0, min_mq=20):
         pileup_engine.ensure_sites(want, 0)
     a = pileup_engine._finalize()
     groups = native.group_entries_at(a["pos"], want)
+    # vectorized entry filter + base decode over ALL het columns at once
+    # (the per-entry numpy-scalar loop cost 0.4s/chunk at real density);
+    # per-site dicts are then built from plain-int lists.  A read holds at
+    # most one entry per column, so dict insertion order/overwrites match
+    # the original loop exactly.
+    parts = [np.asarray(groups.get(int(p), ()), np.int64)
+             for (p, _r, _a) in het_sites]
+    if parts:
+        bounds = np.cumsum([0] + [len(x) for x in parts])
+        js = (np.concatenate(parts) if bounds[-1] else
+              np.zeros(0, np.int64))
+        ok = ((a["mq"][js] >= min_mq) & (a["bq"][js] >= min_bq)
+              & (a["code"][js] < 8) & (a["ikind"][js] == 0))
+        base = (a["code"][js] % 4).astype(np.int8)
+        rid = a["read_id"][js]
     out = []
-    for (p, ref, alt) in het_sites:
+    for k, (p, ref, alt) in enumerate(het_sites):
         ref_code = "ACGT".index(ref)
         alt_code = "ACGT".index(alt)
-        alleles = {}
-        for j in groups.get(int(p), ()):
-            if (a["mq"][j] < min_mq or a["bq"][j] < min_bq
-                    or a["code"][j] >= 8 or a["ikind"][j] != 0):
-                continue
-            base = int(a["code"][j]) % 4
-            rid = int(a["read_id"][j])
-            if base == ref_code:
-                alleles[rid] = 0
-            elif base == alt_code:
-                alleles[rid] = 1
-        out.append(alleles)
+        s, e = bounds[k], bounds[k + 1]
+        m = ok[s:e] & ((base[s:e] == ref_code) | (base[s:e] == alt_code))
+        rids = rid[s:e][m].tolist()
+        als = (base[s:e][m] == alt_code).astype(np.int8).tolist()
+        out.append(dict(zip(rids, als)))
     return out
 
 
@@ -115,8 +123,11 @@ def haplotag_reads(n_reads, orientations, site_alleles):
     0 if no information or tie."""
     votes = np.zeros(n_reads, dtype=np.int32)
     for o, alleles in zip(orientations, site_alleles):
-        for rid, al in alleles.items():
-            votes[rid] += 1 if al == o else -1
+        if not alleles:
+            continue
+        rids = np.fromiter(alleles.keys(), np.int64, len(alleles))
+        als = np.fromiter(alleles.values(), np.int64, len(alleles))
+        np.add.at(votes, rids, np.where(als == o, 1, -1))
     hp = np.zeros(n_reads, dtype=np.int8)
     hp[votes > 0] = 1
     hp[votes < 0] = 2
