@@ -108,6 +108,24 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.entry_candidate_gate.restype = None
+        lib.entry_candidate_gate.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 8 + [
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.entry_alt_info.restype = ctypes.c_int64
+        lib.entry_alt_info.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 8 + [
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.entry_filter_stats.restype = None
         lib.entry_filter_stats.argtypes = (
             [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 8
@@ -309,6 +327,94 @@ def alt_aggregate(arrays, iseq_off, iseq_blob, want_sorted, min_bq, min_mq,
             boff += ln
         out[int(want[k])] = items
     assert ki == total
+    return out
+
+
+def _agg_inputs(arrays, iseq_off, iseq_blob):
+    c = lambda a, d: np.ascontiguousarray(a, d)  # noqa: E731
+    return (
+        c(arrays["pos"], np.int64), c(arrays["code"], np.int8),
+        c(arrays["bq"], np.int16), c(arrays["mq"], np.int16),
+        c(arrays["ikind"], np.int8), c(arrays["ilen"], np.int32),
+        c(iseq_off, np.int64), c(iseq_blob, np.uint8),
+    )
+
+
+def candidate_gate(arrays, iseq_off, iseq_blob, want_sorted, min_bq, min_mq,
+                   ref_seq, ref_start, min_coverage, snv_min_af,
+                   indel_min_af, support, select_indel):
+    """Exact candidate gating per wanted position (C++ fast path).
+
+    Returns uint8 flags per position (bit0 SNV candidate, bit1 indel
+    candidate) — the decision bits of find_candidates' Python fold — or
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or iseq_off is None:
+        return None
+    want = np.ascontiguousarray(want_sorted, np.int64)
+    if len(want) == 0:
+        return np.zeros(0, np.uint8)
+    pos_arr, code, bq, mq, ikind, ilen, iseq_off, blob = _agg_inputs(
+        arrays, iseq_off, iseq_blob)
+    ref_bytes = ref_seq.encode("ascii", "replace")
+    out = np.zeros(len(want), np.uint8)
+    ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    lib.entry_candidate_gate(
+        len(pos_arr), ptr(pos_arr), ptr(code), ptr(bq), ptr(mq), ptr(ikind),
+        ptr(ilen), ptr(iseq_off), ptr(blob),
+        len(want), ptr(want), int(min_bq), int(min_mq),
+        ref_bytes, len(ref_bytes), int(ref_start),
+        int(min_coverage), float(snv_min_af), float(indel_min_af),
+        int(support), 1 if select_indel else 0, ptr(out),
+    )
+    return out
+
+
+def alt_info(arrays, iseq_off, iseq_blob, want_sorted, min_bq, min_mq,
+             max_indel_len, ref_seq, ref_start):
+    """alt_info strings per wanted position (C++ fast path).
+
+    Returns {pos: (alt_info_string, depth)} byte-identical to
+    pileup.PileupEngine.alt_info_at's fold, or None when the native lib is
+    unavailable."""
+    lib = get_lib()
+    if lib is None or iseq_off is None:
+        return None
+    want = np.ascontiguousarray(want_sorted, np.int64)
+    npos = len(want)
+    if npos == 0:
+        return {}
+    pos_arr, code, bq, mq, ikind, ilen, iseq_off, blob = _agg_inputs(
+        arrays, iseq_off, iseq_blob)
+    ref_bytes = ref_seq.encode("ascii", "replace")
+    ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    blob_cap = npos * 48 + 256
+    for _attempt in range(2):
+        out_depth = np.empty(npos, np.int32)
+        out_len = np.empty(npos, np.int32)
+        str_blob = np.empty(blob_cap, np.uint8)
+        needed = ctypes.c_int64(0)
+        rc = lib.entry_alt_info(
+            len(pos_arr), ptr(pos_arr), ptr(code), ptr(bq), ptr(mq),
+            ptr(ikind), ptr(ilen), ptr(iseq_off), ptr(blob),
+            npos, ptr(want), int(min_bq), int(min_mq), int(max_indel_len),
+            ref_bytes, len(ref_bytes), int(ref_start),
+            ptr(out_depth), ptr(out_len), ptr(str_blob), blob_cap,
+            ctypes.byref(needed),
+        )
+        if rc >= 0:
+            break
+        blob_cap = int(needed.value) + 16
+    else:  # pragma: no cover - two attempts always suffice
+        raise RuntimeError("entry_alt_info capacity retry failed")
+    raw = str_blob.tobytes()
+    out = {}
+    boff = 0
+    for k in range(npos):
+        ln = int(out_len[k])
+        out[int(want[k])] = (raw[boff:boff + ln].decode("latin-1"),
+                             int(out_depth[k]))
+        boff += ln
     return out
 
 

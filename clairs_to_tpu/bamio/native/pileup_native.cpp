@@ -1168,6 +1168,348 @@ int64_t entry_alt_aggregate(
   return overflow ? -1 : keys_out;
 }
 
+}  // extern "C" (template helper below needs C++ linkage)
+
+namespace {
+// Shared aggregation core for the alt_info / candidate-gate fast paths:
+// phase A groups entry indices by wanted position, phase B dedupes each
+// position's view-filtered entries into first-encounter-order slots —
+// identical slot semantics to entry_alt_aggregate above.
+struct AltSlot {
+  int8_t code, kind;
+  int32_t len;
+  int64_t off;
+  int32_t count;
+};
+
+template <class F>
+void aggregate_slots(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int64_t* iseq_off, const char* iseq_blob,
+    int64_t npos, const int64_t* want, int min_bq, int min_mq, F&& emit) {
+  if (npos == 0) return;
+  WantIndex wi(npos, want);
+  std::vector<int64_t> counts(npos, 0);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t k = wi.find(pos[j]);
+    if (k >= 0) counts[k] += 1;
+  }
+  std::vector<int64_t> offsets(npos + 1, 0);
+  for (int64_t k = 0; k < npos; k++) offsets[k + 1] = offsets[k] + counts[k];
+  std::vector<int64_t> idx(offsets[npos]);
+  {
+    std::vector<int64_t> cur(offsets.begin(), offsets.end() - 1);
+    for (int64_t j = 0; j < n; j++) {
+      int64_t k = wi.find(pos[j]);
+      if (k >= 0) idx[cur[k]++] = j;
+    }
+  }
+  std::vector<AltSlot> slots;
+  for (int64_t k = 0; k < npos; k++) {
+    slots.clear();
+    int16_t pure_slot[12];
+    for (int i = 0; i < 12; i++) pure_slot[i] = -1;
+    for (int64_t t = offsets[k]; t < offsets[k + 1]; t++) {
+      int64_t j = idx[t];
+      int8_t c = code[j];
+      if (bq[j] < min_bq || mq[j] < min_mq) continue;
+      int8_t kind = ikind[j];
+      if (c >= 10 && kind == 0) continue;
+      if (kind == 0) {
+        int16_t s = pure_slot[c];
+        if (s < 0) {
+          pure_slot[c] = (int16_t)slots.size();
+          slots.push_back({c, 0, 0, 0, 1});
+        } else {
+          slots[s].count += 1;
+        }
+        continue;
+      }
+      int32_t len = ilen[j];
+      int64_t off = (kind == 1) ? iseq_off[j] : 0;
+      int found = -1;
+      for (size_t s = 0; s < slots.size(); s++) {
+        const AltSlot& sl = slots[s];
+        if (sl.code != c || sl.kind != kind || sl.len != len) continue;
+        if (kind == 1 &&
+            memcmp(iseq_blob + sl.off, iseq_blob + off, (size_t)len) != 0)
+          continue;
+        found = (int)s;
+        break;
+      }
+      if (found >= 0) slots[found].count += 1;
+      else slots.push_back({c, kind, len, off, 1});
+    }
+    emit(k, slots);
+  }
+}
+
+const char kAltBaseChar[12] = {'A', 'C', 'G', 'T', 'a', 'c',
+                               'g', 't', '*', '#', 'N', 'n'};
+
+inline int append_int(uint8_t* dst, int64_t v) {
+  char buf[24];
+  int n = snprintf(buf, sizeof buf, "%lld", (long long)v);
+  memcpy(dst, buf, (size_t)n);
+  return n;
+}
+}  // namespace
+
+extern "C" {
+
+// Candidate exact gating on the aggregated keys (the Python fold in
+// pileup.py::find_candidates:879-948, flag outputs only).  out_flags[k]:
+// bit0 = SNV candidate (pass_snv && depth gate && an ACGT alt entry
+// exists), bit1 = indel candidate.  The af/alt_list bookkeeping of the
+// Python loop is debug-output-only (--alt_fn) and is skipped here — the
+// CLI falls back to the Python path when those are requested.
+void entry_candidate_gate(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int64_t* iseq_off, const char* iseq_blob,
+    int64_t npos, const int64_t* want, int min_bq, int min_mq,
+    const char* ref_seq, int64_t ref_len, int64_t ref_start,
+    int min_coverage, double snv_min_af, double indel_min_af, int support,
+    int select_indel, uint8_t* out_flags) {
+  aggregate_slots(
+      n, pos, code, bq, mq, ikind, ilen, iseq_off, iseq_blob, npos, want,
+      min_bq, min_mq,
+      [&](int64_t k, const std::vector<AltSlot>& slots) {
+        out_flags[k] = 0;
+        int64_t ri = want[k] - ref_start;
+        char rb = (ri >= 0 && ri < ref_len) ? ref_seq[ri] : 'N';
+        int rbi = -1;
+        switch (rb) {
+          case 'A': rbi = 0; break;
+          case 'C': rbi = 1; break;
+          case 'G': rbi = 2; break;
+          case 'T': rbi = 3; break;
+        }
+        if (rbi < 0) return;   // rb not in ACGT -> no candidate
+        // folded counters: ACGT (uppercased), distinct I-keys, distinct
+        // D-keys (select_indel folds by identity; otherwise one bucket)
+        int64_t base_cnt[4] = {0, 0, 0, 0};
+        int64_t depth = 0;
+        bool has_snv_alt = false, has_indel_alt = false;
+        // distinct indel folded keys: by (kind, len, bytes-upper) when
+        // select_indel, else one I and one D bucket
+        std::vector<std::pair<const AltSlot*, int64_t>> ikeys;
+        for (const AltSlot& sl : slots) {
+          char bc = kAltBaseChar[sl.code];
+          int bi = -1;
+          switch (bc) {
+            case 'A': case 'a': bi = 0; break;
+            case 'C': case 'c': bi = 1; break;
+            case 'G': case 'g': bi = 2; break;
+            case 'T': case 't': bi = 3; break;
+          }
+          if (bi >= 0) {
+            base_cnt[bi] += sl.count;
+            depth += sl.count;
+            if (sl.kind == 0 && bi != rbi) has_snv_alt = true;
+          } else if (bc == '#' || bc == '*') {
+            depth += sl.count;
+          }
+          if (sl.kind == 1 || sl.kind == 2) {
+            has_indel_alt = true;
+            if (select_indel) {
+              // fold by uppercase identity: I<base><SEQ> / D<NNN...>
+              bool found = false;
+              for (auto& kv : ikeys) {
+                const AltSlot* o = kv.first;
+                if (o->kind != sl.kind || o->len != sl.len) continue;
+                if (sl.kind == 2) { kv.second += sl.count; found = true; break; }
+                // ins: uppercase byte compare of seq + anchor base class
+                char ob = kAltBaseChar[o->code], nb = kAltBaseChar[sl.code];
+                if (toupper(ob) != toupper(nb)) continue;
+                bool eq = true;
+                for (int32_t t = 0; t < sl.len; t++)
+                  if (toupper((unsigned char)iseq_blob[o->off + t]) !=
+                      toupper((unsigned char)iseq_blob[sl.off + t])) {
+                    eq = false;
+                    break;
+                  }
+                if (eq) { kv.second += sl.count; found = true; break; }
+              }
+              if (!found) ikeys.push_back({&sl, sl.count});
+            }
+          }
+        }
+        int64_t denom = depth > 0 ? depth : 1;
+        bool pass_depth = depth > min_coverage;
+        bool pass_snv = false, pass_indel = false;
+        for (int b = 0; b < 4; b++) {
+          if (b == rbi) continue;
+          if (base_cnt[b] > 0 &&
+              (double)base_cnt[b] / (double)denom >= snv_min_af &&
+              base_cnt[b] >= support)
+            pass_snv = true;
+        }
+        if (select_indel)
+          for (auto& kv : ikeys)
+            if ((double)kv.second / (double)denom >= indel_min_af &&
+                kv.second >= support)
+              pass_indel = true;
+        uint8_t f = 0;
+        if (pass_snv && pass_depth && has_snv_alt) f |= 1;
+        if (select_indel && pass_indel && pass_depth && has_indel_alt)
+          f |= 2;
+        out_flags[k] = f;
+      });
+}
+
+// alt_info string assembly on the aggregated keys — byte-identical to
+// pileup.py::alt_info_at's fold over _alt_groups output (X/I/D/R keys in
+// first-encounter order of the FOLDED key, R last, max_indel gates, D info
+// from raw reference bytes anchored AT the position).  Returns total blob
+// bytes used, or -1 when blob_cap is too small (needed size stored).
+int64_t entry_alt_info(
+    int64_t n, const int64_t* pos, const int8_t* code, const int16_t* bq,
+    const int16_t* mq, const int8_t* ikind, const int32_t* ilen,
+    const int64_t* iseq_off, const char* iseq_blob,
+    int64_t npos, const int64_t* want, int min_bq, int min_mq,
+    int max_indel_len,
+    const char* ref_seq, int64_t ref_len, int64_t ref_start,
+    int32_t* out_depth, int32_t* out_str_len,
+    uint8_t* str_blob, int64_t blob_cap, int64_t* needed_blob) {
+  *needed_blob = 0;
+  int64_t blob_out = 0;
+  bool overflow = false;
+  // folded output keys per position, first-encounter order
+  struct FKey {
+    char tag;              // 'X', 'I', 'D'
+    char xbase;            // X: uppercased base
+    const AltSlot* sl;     // I/D: representative slot (uppercase identity)
+    int64_t count;
+  };
+  std::vector<FKey> fkeys;
+  std::string scratch;
+  aggregate_slots(
+      n, pos, code, bq, mq, ikind, ilen, iseq_off, iseq_blob, npos, want,
+      min_bq, min_mq,
+      [&](int64_t k, const std::vector<AltSlot>& slots) {
+        fkeys.clear();
+        int64_t p = want[k];
+        int64_t ri = p - ref_start;
+        char rb = (ri >= 0 && ri < ref_len) ? ref_seq[ri] : 'N';
+        int64_t depth = 0, ref_count = 0;
+        for (const AltSlot& sl : slots) {
+          char bc = kAltBaseChar[sl.code];
+          char up = (char)toupper((unsigned char)bc);
+          if (sl.kind == 0) {
+            if (up == 'A' || up == 'C' || up == 'G' || up == 'T') {
+              depth += sl.count;
+              if (up != rb) {
+                bool found = false;
+                for (auto& fk : fkeys)
+                  if (fk.tag == 'X' && fk.xbase == up) {
+                    fk.count += sl.count;
+                    found = true;
+                    break;
+                  }
+                if (!found) fkeys.push_back({'X', up, nullptr, sl.count});
+              } else {
+                ref_count += sl.count;
+              }
+            } else if (bc == '#' || bc == '*') {
+              depth += sl.count;
+            }
+          } else if (sl.kind == 1) {
+            if (sl.len > max_indel_len) continue;
+            depth += sl.count;
+            bool found = false;
+            for (auto& fk : fkeys) {
+              if (fk.tag != 'I' || fk.sl->len != sl.len) continue;
+              char ob = (char)toupper(
+                  (unsigned char)kAltBaseChar[fk.sl->code]);
+              char nb = up;
+              if (ob != nb) continue;
+              bool eq = true;
+              for (int32_t t = 0; t < sl.len; t++)
+                if (toupper((unsigned char)iseq_blob[fk.sl->off + t]) !=
+                    toupper((unsigned char)iseq_blob[sl.off + t])) {
+                  eq = false;
+                  break;
+                }
+              if (eq) { fk.count += sl.count; found = true; break; }
+            }
+            if (!found) fkeys.push_back({'I', up, &sl, sl.count});
+          } else {  // deletion: key "D" + ref[p .. p+len] raw bytes
+            if (1 + sl.len > max_indel_len) continue;
+            depth += sl.count;
+            bool found = false;
+            for (auto& fk : fkeys)
+              if (fk.tag == 'D' && fk.sl->len == sl.len) {
+                // D info depends only on (pos, len) -> same key
+                fk.count += sl.count;
+                found = true;
+                break;
+              }
+            if (!found) fkeys.push_back({'D', 0, &sl, sl.count});
+          }
+        }
+        out_depth[k] = (int32_t)depth;
+        // assemble "<depth>-<k1 c1 k2 c2 ...>[ R<rb> c]-"
+        scratch.clear();
+        {
+          char buf[24];
+          snprintf(buf, sizeof buf, "%lld", (long long)depth);
+          scratch += buf;
+        }
+        scratch += '-';
+        bool first = true;
+        auto add_key = [&](const std::string& key, int64_t cnt) {
+          if (!first) scratch += ' ';
+          first = false;
+          scratch += key;
+          scratch += ' ';
+          char buf[24];
+          snprintf(buf, sizeof buf, "%lld", (long long)cnt);
+          scratch += buf;
+        };
+        std::string keybuf;
+        for (auto& fk : fkeys) {
+          keybuf.clear();
+          if (fk.tag == 'X') {
+            keybuf += 'X';
+            keybuf += fk.xbase;
+          } else if (fk.tag == 'I') {
+            keybuf += 'I';
+            keybuf += (char)toupper((unsigned char)kAltBaseChar[fk.sl->code]);
+            for (int32_t t = 0; t < fk.sl->len; t++)
+              keybuf += (char)toupper((unsigned char)iseq_blob[fk.sl->off + t]);
+          } else {
+            keybuf += 'D';
+            for (int32_t t = 0; t <= fk.sl->len; t++) {
+              int64_t rj = p + t - ref_start;
+              keybuf += (rj >= 0 && rj < ref_len) ? ref_seq[rj] : 'N';
+            }
+          }
+          add_key(keybuf, fk.count);
+        }
+        if (ref_count > 0) {
+          keybuf.clear();
+          keybuf += 'R';
+          keybuf += rb;
+          add_key(keybuf, ref_count);
+        }
+        scratch += '-';
+        int64_t slen = (int64_t)scratch.size();
+        out_str_len[k] = (int32_t)slen;
+        *needed_blob += slen;
+        if (!overflow) {
+          if (blob_out + slen > blob_cap) {
+            overflow = true;
+          } else {
+            memcpy(str_blob + blob_out, scratch.data(), (size_t)slen);
+            blob_out += slen;
+          }
+        }
+      });
+  return overflow ? -1 : blob_out;
+}
+
 // Reference-channel negation (create_tensor_pileup_calling.py:223-228):
 // for each row, overwrite the ref base's slot in each 4-wide strand block
 // with the negated block sum.  One memory-bound pass over (L, nchan) int32

@@ -666,6 +666,21 @@ class PileupEngine:
         """
         want = sorted(set(int(p) for p in positions))
         self.ensure_sites(want, 0)
+        from clairs_to_tpu.bamio import native
+
+        if native.available() and len(want):
+            # single C++ pass: aggregation + fold + string assembly
+            # (byte-identical to the Python fold below, which remains the
+            # behavioral reference — tests/test_native_altinfo.py)
+            a = self._finalize()
+            self._ensure_iseq_arrays()
+            res = native.alt_info(
+                a, self._iseq_off, self._iseq_blob, want,
+                min_bq, cfg.LOW_MQ_THRESHOLD, self.max_indel_length,
+                self.ref_seq, self.ref_start,
+            )
+            if res is not None:
+                return res
         groups = self._alt_groups(want, min_bq, cfg.LOW_MQ_THRESHOLD)
         out = {}
         for p in want:
@@ -748,6 +763,7 @@ class PileupEngine:
         indel_min_af: float = cfg.INDEL_MIN_AF,
         alternative_base_num: int = cfg.ALTERNATIVE_BASE_NUM,
         select_indel_candidates: bool = False,
+        with_infos: bool = True,
     ):
         """Candidate gating (extract_candidates_calling.py:101-169).
 
@@ -872,6 +888,26 @@ class PileupEngine:
         # position (view filters applied in C++); the threshold logic below
         # sees ~4 keys/position instead of ~depth entries/position
         pf = np.asarray(prefilter, dtype=np.int64)
+        if not with_infos:
+            # decision-bits-only C++ gate (same fold semantics as the loop
+            # below, cross-validated by tests/test_native_altinfo.py); the
+            # CandidateInfo bookkeeping is --alt_fn debug output and is
+            # skipped on the hot path
+            from clairs_to_tpu.bamio import native as _native
+
+            self.ensure_sites(pf, 0)
+            a2 = self._finalize()
+            self._ensure_iseq_arrays()
+            flags = _native.candidate_gate(
+                a2, self._iseq_off, self._iseq_blob, pf,
+                min_bq, cfg.MIN_MQ, self.ref_seq, self.ref_start,
+                min_coverage, snv_min_af, indel_min_af,
+                alternative_base_num, select_indel_candidates,
+            )
+            if flags is not None:
+                snv_pos = [int(p) for p in pf[(flags & 1) > 0]]
+                indel_pos = [int(p) for p in pf[(flags & 2) > 0]]
+                return snv_pos, indel_pos, {}
         groups = self._alt_groups(pf, min_bq, cfg.MIN_MQ)
 
         snv_pos, indel_pos = [], []

@@ -414,6 +414,9 @@ class CallingPipeline:
                     indel_min_af=opt.indel_min_af,
                     alternative_base_num=opt.alternative_base_num,
                     select_indel_candidates=opt.select_indel_candidates,
+                    # CandidateInfo bookkeeping feeds only the --alt_fn
+                    # debug dump; skipping it selects the C++ gate
+                    with_infos=bool(opt.alt_fn),
                 )
             if opt.genotyping_mode == "hybrid":
                 snv_pos = sorted(set(snv_pos) | set(requested))
