@@ -1032,14 +1032,22 @@ def _pipeline_body(args, metrics, t0, tee, engines=None):
               f"({res.n_candidates} candidates, {now - _last_done[0]:.2f}s)")
         _last_done[0] = now
 
-    inflight = None
+    # depth-2 by default: with the host-side prep now ~1s/chunk, a single
+    # in-flight chunk leaves the loop device-bound at small chunk sizes
+    # (the tunneled chip charges ~1-1.5s per round trip; measured 8x1Mb:
+    # device_infer 11.7s at depth 1) — two in flight keeps the device queue
+    # full while the host finalizes
+    from collections import deque
+
+    depth_ahead = max(1, int(os.environ.get(
+        "CLAIRS_TO_TPU_DISPATCH_AHEAD", "2")))
+    inflight = deque()
     for ch, _ in chunk_iter:
-        pending = pipe.dispatch_chunk(ch)
-        prev, inflight = inflight, (ch, pending)
-        if prev is not None:
-            _finalize_chunk(*prev)
-    if inflight is not None:
-        _finalize_chunk(*inflight)
+        inflight.append((ch, pipe.dispatch_chunk(ch)))
+        if len(inflight) > depth_ahead:
+            _finalize_chunk(*inflight.popleft())
+    while inflight:
+        _finalize_chunk(*inflight.popleft())
     _trace.__exit__(None, None, None)
     _calling_stage.__exit__(None, None, None)
 
