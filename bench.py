@@ -369,21 +369,21 @@ def main():
         "device_only_per_sec": round(device, 1) if device else None,
         "aux_sweeps_skipped": not aux_ok,
         "speed_of_light_note": (
-            "2-core host is the binding constraint short of 10x: per 4Mb@60x "
-            "chunk (~9.5k cand) measured CPU work = decode 4.6-5.2 core-s "
-            "(BGZF inflate 0.70s at zlib's ~360MB/s single-core; fused "
-            "accumulate 1.66s = ~7ns/base = 15 cycles across 240M pileup "
-            "entries; filter assembly 0.4-0.6s; ref encode+memset+fold "
-            "0.6s) + calling-side 3.5-5 core-s (find_candidates 0.5, "
-            "alt_info 0.2, pack/posterior/rows ~1, filter verdicts "
-            "2.5-4 at 0.26ms/site over ALL rows - reference parity "
-            "requires annotating sub-cutoff rows too) = 8-10 core-s / 2 "
-            "cores = 4-5s/chunk lower bound ~2000-2400/s for a long "
-            "genome; the 8Mb capture exceeds it via startup-overlapped "
-            "decode. The chip itself idles: device-resident ceiling "
-            "122k/s, engine path 15.5k/s, device_infer <1s/run. Adding "
-            "host cores, not chips, is the scaling direction "
-            "(docs/SCALING.md)."),
+            "2-core host remains the binding constraint: per 4Mb@60x chunk "
+            "(~9.5k cand) measured CPU work after the second round-5 pass "
+            "= decode ~3.3 core-s (BGZF+parse 0.7s at zlib's ~360MB/s "
+            "single-core; fused accumulate 1.3-1.5s = ~6ns/base across "
+            "240M pileup entries; memset 0.15s; filter assembly 0.5s; ref "
+            "encode/fetch 0.4s) + calling-side ~1.3 core-s (prefilter+C++ "
+            "gate 0.25, C++ alt_info 0.06, gather/pack 0.1, rows 0.2, "
+            "phase 0.15 + index 0.25 + C++ verdict batch 0.07/9k sites - "
+            "all rows annotated, reference parity) = ~4.6 core-s / 2 "
+            "cores = ~2.3s/chunk lower bound ~4100/s steady for a long "
+            "genome (measured 8x1Mb: 3232/s); the 8Mb capture's 4322/s "
+            "median rides startup-overlapped decode. The chip still "
+            "idles: device-resident ceiling 122k/s, engine path 18.9k/s "
+            "at B=8192. Adding host cores, not chips, is the scaling "
+            "direction (docs/SCALING.md)."),
         "workload": f"{GENOME_LEN//1000}kb@{COVERAGE}x ONT-like sim, "
                     f"seed {SEED}",
     }))
