@@ -108,6 +108,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.window_candidate_prefilter.restype = None
+        lib.window_candidate_prefilter.argtypes = [
+            ctypes.c_int64] + [ctypes.c_void_p] * 5 + [
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
         lib.entry_candidate_gate.restype = None
         lib.entry_candidate_gate.argtypes = [
             ctypes.c_int64] + [ctypes.c_void_p] * 8 + [

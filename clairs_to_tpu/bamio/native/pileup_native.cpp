@@ -1258,6 +1258,41 @@ inline int append_int(uint8_t* dst, int64_t v) {
 
 extern "C" {
 
+// Vectorized-superset candidate prefilter over the fused window's dense
+// candidate-view stats (the numpy mask chain in pileup.py::find_candidates
+// use_win branch, one C pass): a position survives when depth >
+// min_coverage, its reference base is ACGT, and some non-ref base count
+// (or, with select_indel, the ins/del total) meets both the support and
+// AF thresholds.  Identical float semantics (double division).
+void window_candidate_prefilter(
+    int64_t L, const int32_t* cand_base, const int32_t* cand_depth,
+    const int32_t* cand_ins, const int32_t* cand_del,
+    const int8_t* ref_codes, int min_coverage, double snv_min_af,
+    double indel_min_af, int support, int select_indel, uint8_t* out_mask) {
+  for (int64_t i = 0; i < L; i++) {
+    out_mask[i] = 0;
+    int8_t rc = ref_codes[i];
+    if (rc < 0) continue;
+    int32_t depth = cand_depth[i];
+    if (depth <= min_coverage) continue;
+    double denom = depth > 1 ? (double)depth : 1.0;
+    const int32_t* bc = cand_base + i * 4;
+    bool alt = false;
+    for (int c = 0; c < 4 && !alt; c++) {
+      if (c == rc) continue;
+      int32_t cnt = bc[c];
+      if (cnt >= support && (double)cnt / denom >= snv_min_af) alt = true;
+    }
+    if (!alt && select_indel) {
+      int32_t it = cand_ins[i], dt = cand_del[i];
+      if ((it >= support && (double)it / denom >= indel_min_af) ||
+          (dt >= support && (double)dt / denom >= indel_min_af))
+        alt = true;
+    }
+    if (alt) out_mask[i] = 1;
+  }
+}
+
 // Candidate exact gating on the aggregated keys (the Python fold in
 // pileup.py::find_candidates:879-948, flag outputs only).  out_flags[k]:
 // bit0 = SNV candidate (pass_snv && depth gate && an ACGT alt entry

@@ -817,16 +817,30 @@ class PileupEngine:
             depth_arr = w.cand_depth[o0 : o0 + L]
             ins_tot = w.cand_ins[o0 : o0 + L]
             del_tot = w.cand_del[o0 : o0 + L]
-            denom = np.maximum(depth_arr, 1)
-            alt_mask = np.zeros(L, dtype=bool)
-            for c in range(4):
-                cnt = base_counts[:, c]
-                ok = (ref_codes != c) & (cnt >= support) & (cnt / denom >= snv_min_af)
-                alt_mask |= ok
-            if select_indel_candidates:
-                for tot in (ins_tot, del_tot):
-                    alt_mask |= (tot >= support) & (tot / denom >= indel_min_af)
-            cand_mask = alt_mask & (depth_arr > min_coverage) & (ref_codes >= 0)
+            if (lib is not None and base_counts.flags.c_contiguous
+                    and depth_arr.flags.c_contiguous):
+                import ctypes
+
+                mask8 = np.zeros(L, np.uint8)
+                ptr = lambda x: x.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+                lib.window_candidate_prefilter(
+                    L, ptr(base_counts), ptr(depth_arr), ptr(ins_tot),
+                    ptr(del_tot), ptr(ref_codes), int(min_coverage),
+                    float(snv_min_af), float(indel_min_af), int(support),
+                    1 if select_indel_candidates else 0, ptr(mask8),
+                )
+                cand_mask = mask8 > 0
+            else:
+                denom = np.maximum(depth_arr, 1)
+                alt_mask = np.zeros(L, dtype=bool)
+                for c in range(4):
+                    cnt = base_counts[:, c]
+                    ok = (ref_codes != c) & (cnt >= support) & (cnt / denom >= snv_min_af)
+                    alt_mask |= ok
+                if select_indel_candidates:
+                    for tot in (ins_tot, del_tot):
+                        alt_mask |= (tot >= support) & (tot / denom >= indel_min_af)
+                cand_mask = alt_mask & (depth_arr > min_coverage) & (ref_codes >= 0)
         elif lib is not None and len(a["pos"]):
             import ctypes
 
