@@ -150,3 +150,27 @@ def test_default_model_dir_resolution():
     assert pi is not None and pi.endswith("flagship_ilmn_snv")
     ph = default_model_dir("hifi_revio")
     assert ph is not None and ph.endswith("flagship_hifi_snv")
+
+
+def test_cli_chunked_equals_unchunked(dataset, tmp_path):
+    """--chunk_num 3 (exercising the depth-2 dispatch-ahead queue) produces
+    the same VCF body as a single-chunk run.  ONT phasing runs per chunk,
+    so intermediate phasing is disabled to keep verdicts chunk-invariant
+    (the documented MultiHap boundary class); every other stage windows
+    within the chunk margins and must be chunking-independent."""
+    outs = []
+    for tag, extra in (("c1", ["--chunk_num", "1"]),
+                       ("c3", ["--chunk_num", "3"])):
+        out_dir = str(tmp_path / f"out_{tag}")
+        rc = cli_main([
+            "-T", dataset["bam"], "-R", dataset["fasta"], "-o", out_dir,
+            "-t", "2", "-p", "ont", "--disable_indel_calling", "true",
+            "--model_dir", DEFAULT_ASSET_DIR, "--device_batch", "256",
+            "--disable_intermediate_phasing",
+            *extra,
+        ])
+        assert rc == 0
+        with open(os.path.join(out_dir, "snv.vcf")) as f:
+            outs.append([l for l in f if not l.startswith("#")])
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 10
