@@ -133,29 +133,80 @@ Aln align_affine(const std::string& q, const std::string& t) {
   // aligned, free target flanks — standard for read->haplotype.
   int n = q.size(), m = t.size();
   const int NEG = -1000000;
-  std::vector<std::vector<int>> H(n + 1, std::vector<int>(m + 1, NEG));
-  std::vector<std::vector<int>> E(n + 1, std::vector<int>(m + 1, NEG));  // gap in t (ins)
-  std::vector<std::vector<int>> F(n + 1, std::vector<int>(m + 1, NEG));  // gap in q (del)
-  for (int j = 0; j <= m; j++) H[0][j] = 0;  // free target prefix
-  for (int i = 1; i <= n; i++) {
-    for (int j = 0; j <= m; j++) {
-      E[i][j] = std::max(H[i - 1][j] - GAP_OPEN, E[i - 1][j] - GAP_EXT);
-      if (j > 0) {
-        F[i][j] = std::max(H[i][j - 1] - GAP_OPEN, F[i][j - 1] - GAP_EXT);
-        int diag = H[i - 1][j - 1] + (q[i - 1] == t[j - 1] ? MATCH : -MISMATCH);
-        H[i][j] = std::max({diag, E[i][j], F[i][j]});
-      } else {
-        H[i][j] = E[i][j];
-      }
+  // exact-substring short-circuit: an all-match alignment scores n*MATCH,
+  // which no gapped/mismatched alignment can reach, so the DP's answer is
+  // the pure-M CIGAR; among multiple occurrences the DP's `>=` best-j scan
+  // keeps the LARGEST end column = the RIGHTMOST occurrence, and its
+  // traceback prefers the diagonal on ties = all M.  rfind reproduces
+  // both choices exactly.  (Most reads are error-free copies of one
+  // haplotype — this skips the O(n*m) fill for them.)
+  if (n > 0) {
+    size_t p = t.rfind(q);
+    if (p != std::string::npos) {
+      Aln out;
+      out.score = n * MATCH;
+      out.ref_start = (int)p;
+      out.cigar = {{'M', n}};
+      return out;
     }
   }
-  // free target suffix: best over H[n][j]
+  // Rolling score rows + per-cell backpointer bytes.  The former full
+  // H/E/F int matrices cost ~24 B of memory traffic per cell; this keeps
+  // two int rows live and stores the three traceback decisions as one
+  // byte/cell, recorded with EXACTLY the comparisons (and precedence) the
+  // original traceback performed — outputs are bit-identical (A/B-tested
+  // against the matrix version on randomized cases).
+  //   bit0-1: H-state move (0 = diag/M, 1 = enter E, 2 = enter F)
+  //   bit2:   E run ends here (E == H[i-1][j] - GAP_OPEN)
+  //   bit3:   F run ends here (F == H[i][j-1] - GAP_OPEN)
+  static thread_local std::vector<int> Hprev_b, Hcur_b, Eprev_b, Ecur_b;
+  static thread_local std::vector<uint8_t> BPb;
+  const int W = m + 1;
+  if ((int)Hprev_b.size() < W) {
+    Hprev_b.resize(W); Hcur_b.resize(W);
+    Eprev_b.resize(W); Ecur_b.resize(W);
+  }
+  if (BPb.size() < (size_t)(n + 1) * W) BPb.resize((size_t)(n + 1) * W);
+  int* Hp = Hprev_b.data();
+  int* Hi = Hcur_b.data();
+  int* Ep = Eprev_b.data();
+  int* Ei = Ecur_b.data();
+  uint8_t* BP = BPb.data();
+  for (int j = 0; j <= m; j++) { Hp[j] = 0; Ep[j] = NEG; }
+  for (int i = 1; i <= n; i++) {
+    uint8_t* bp = BP + (size_t)i * W;
+    const char qc = q[i - 1];
+    int e0 = std::max(Hp[0] - GAP_OPEN, Ep[0] - GAP_EXT);
+    Ei[0] = e0;
+    Hi[0] = e0;                           // F[i][0] = NEG in the original
+    // original H-state traceback at j==0: diag = NEG, then H==E -> E
+    bp[0] = (uint8_t)((1) | ((e0 == Hp[0] - GAP_OPEN) ? 4 : 0));
+    int f_prev = NEG;                     // F[i][j-1] (current row)
+    for (int j = 1; j <= m; j++) {
+      int e = std::max(Hp[j] - GAP_OPEN, Ep[j] - GAP_EXT);
+      int f = std::max(Hi[j - 1] - GAP_OPEN, f_prev - GAP_EXT);
+      int diag = Hp[j - 1] + (qc == t[j - 1] ? MATCH : -MISMATCH);
+      int h = diag > e ? diag : e;
+      if (f > h) h = f;
+      // H-state move with the original precedence: diag on tie, else E
+      // on tie, else F
+      uint8_t mv = (h == diag) ? 0 : (h == e ? 1 : 2);
+      bp[j] = (uint8_t)(mv | ((e == Hp[j] - GAP_OPEN) ? 4 : 0) |
+                        ((f == Hi[j - 1] - GAP_OPEN) ? 8 : 0));
+      Ei[j] = e;
+      Hi[j] = h;
+      f_prev = f;
+    }
+    std::swap(Hp, Hi);
+    std::swap(Ep, Ei);
+  }
+  // free target suffix: best over H[n][j] (in Hp after the final swap)
   int best_j = 0, best = NEG;
   for (int j = 0; j <= m; j++)
-    if (H[n][j] >= best) { best = H[n][j]; best_j = j; }
+    if (Hp[j] >= best) { best = Hp[j]; best_j = j; }
   Aln out;
   out.score = best;
-  // affine-aware traceback: stay inside a gap matrix for the whole run
+  // affine-aware traceback over the backpointer bytes
   std::vector<std::pair<char, int>> rev;
   int i = n, j = best_j;
   auto push = [&](char op) {
@@ -164,19 +215,19 @@ Aln align_affine(const std::string& q, const std::string& t) {
   };
   char state = 'H';
   while (i > 0) {
+    uint8_t b = BP[(size_t)i * W + j];
     if (state == 'H') {
-      int diag = (j > 0) ? H[i - 1][j - 1] + (q[i - 1] == t[j - 1] ? MATCH : -MISMATCH)
-                         : NEG;
-      if (j > 0 && H[i][j] == diag) { push('M'); i--; j--; }
-      else if (H[i][j] == E[i][j]) state = 'E';
+      uint8_t mv = b & 3;
+      if (mv == 0) { push('M'); i--; j--; }
+      else if (mv == 1) state = 'E';
       else state = 'F';
     } else if (state == 'E') {
       push('I');
-      if (E[i][j] == H[i - 1][j] - GAP_OPEN) state = 'H';
+      if (b & 4) state = 'H';
       i--;
     } else {  // F
       push('D');
-      if (F[i][j] == H[i][j - 1] - GAP_OPEN) state = 'H';
+      if (b & 8) state = 'H';
       j--;
     }
   }
